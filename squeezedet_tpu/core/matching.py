@@ -1,0 +1,103 @@
+"""Ground-truth -> anchor assignment (host side).
+
+The assignment is *sequential greedy with a uniqueness set* and therefore
+order-dependent; it runs per-sample on the host workers (it is O(num_boxes *
+A log A) on 16,848 anchors — cheap next to image decode) and must replicate
+the reference semantics exactly for training parity
+(reference src/utils/boxes.py:84-135):
+
+1. For each GT box in file order, pick the free anchor with the largest IoU.
+2. If every positive-IoU anchor is taken (or no anchor overlaps), fall back to
+   the free anchor with the smallest squared L2 distance in xywh space.
+
+Deltas use the SqueezeDet encoding ``((x-ax)/aw, (y-ay)/ah, log w/aw,
+log h/ah)`` against the +1-convention xywh boxes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from squeezedet_tpu.core.boxes import (
+    compute_overlaps_one,
+    xywh_to_xyxy,
+    xyxy_to_xywh,
+)
+
+
+def match_anchors(
+    boxes_xyxy: np.ndarray, anchors_xywh: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Assign each GT box a unique anchor and compute its regression deltas.
+
+    :param boxes_xyxy: (N, 4) ground-truth boxes, xyxy.
+    :param anchors_xywh: (A, 4) anchors, xywh.
+    :return: (deltas (N, 4) float32, anchor_indices (N,) int32)
+    """
+    num_anchors = anchors_xywh.shape[0]
+    boxes_xywh = xyxy_to_xywh(boxes_xyxy)
+    anchors_xyxy = xywh_to_xyxy(anchors_xywh)
+
+    taken: set[int] = set()
+    anchor_indices = np.empty(boxes_xyxy.shape[0], dtype=np.int32)
+    deltas = np.empty((boxes_xyxy.shape[0], 4), dtype=np.float32)
+
+    for i in range(boxes_xyxy.shape[0]):
+        overlaps = compute_overlaps_one(anchors_xyxy, boxes_xyxy[i])
+
+        chosen = num_anchors
+        for cand in np.argsort(-overlaps):
+            if overlaps[cand] <= 0:
+                break
+            if cand not in taken:
+                chosen = cand
+                break
+
+        if chosen == num_anchors:
+            # No free overlapping anchor: nearest free anchor by squared
+            # distance in (cx, cy, w, h) space.
+            dist = np.sum((boxes_xywh[i] - anchors_xywh) ** 2, axis=1)
+            for cand in np.argsort(dist):
+                if cand not in taken:
+                    chosen = cand
+                    break
+
+        taken.add(chosen)
+        anchor_indices[i] = chosen
+        a = anchors_xywh[chosen]
+        g = boxes_xywh[i]
+        deltas[i] = [
+            (g[0] - a[0]) / a[2],
+            (g[1] - a[1]) / a[3],
+            np.log(g[2] / a[2]),
+            np.log(g[3] / a[3]),
+        ]
+
+    return deltas, anchor_indices
+
+
+def encode_annotations(
+    class_ids: np.ndarray,
+    boxes_xyxy: np.ndarray,
+    anchors_xywh: np.ndarray,
+    num_classes: int,
+) -> np.ndarray:
+    """Pack GT into the dense per-anchor training tensor.
+
+    Layout (A, num_classes + 9): ``[mask(1) | gt_box xyxy(4) | gt_deltas(4) |
+    one-hot class(num_classes)]`` — reference src/datasets/base.py:61-76.
+    Images with zero GT boxes yield an all-zero tensor (the loss guards the
+    num_objects division, unlike the reference which NaNs — see
+    reference src/model/squeezedet.py:143-149).
+    """
+    num_anchors = anchors_xywh.shape[0]
+    gt = np.zeros((num_anchors, num_classes + 9), dtype=np.float32)
+    if boxes_xyxy.shape[0] == 0:
+        return gt
+
+    deltas, anchor_indices = match_anchors(boxes_xyxy, anchors_xywh)
+    gt[anchor_indices, 0] = 1.0
+    gt[anchor_indices, 1:5] = boxes_xyxy
+    gt[anchor_indices, 5:9] = deltas
+    gt[anchor_indices, 9 + np.asarray(class_ids, dtype=np.int64)] = 1.0
+    return gt

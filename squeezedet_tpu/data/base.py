@@ -1,0 +1,135 @@
+"""Dataset base: the host-side sample pipeline template.
+
+Mirrors the reference's template-method design (src/datasets/base.py:10-91)
+but produces numpy batches for `device_put` instead of torch tensors:
+
+``load_image -> load_annotations -> preprocess (clip, whiten, drift, flip,
+resize | crop_or_pad) -> encode_annotations`` giving
+``{'image' (H,W,3 NHWC float32), 'image_meta', 'gt' (A, C+9)}``.
+
+Augmentations stay on the host because drift produces variable-size images
+before the fixed-size resize; the device only ever sees static shapes.
+Images remain NHWC — the TPU-native layout — end to end (the reference
+transposes to NCHW for torch; we never do).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import numpy as np
+
+from squeezedet_tpu.core.boxes import visualize_boxes  # noqa: F401 (re-export)
+from squeezedet_tpu.core.image import (
+    crop_or_pad,
+    drift,
+    flip,
+    resize,
+    whiten,
+)
+from squeezedet_tpu.core.matching import encode_annotations
+
+
+class BaseDataset:
+    # subclasses must set these class/instance attributes
+    input_size: tuple[int, int]
+    class_names: tuple[str, ...]
+    rgb_mean: np.ndarray
+    rgb_std: np.ndarray
+    num_classes: int
+    anchors: np.ndarray
+    anchors_per_grid: int
+    num_anchors: int
+    sample_ids: tuple[str, ...]
+
+    def __init__(self, phase: str, cfg):
+        self.phase = phase
+        self.cfg = cfg
+
+    # -- template methods -------------------------------------------------
+    def get_sample_ids(self):
+        raise NotImplementedError
+
+    def load_image(self, index: int):
+        raise NotImplementedError
+
+    def load_annotations(self, index: int):
+        raise NotImplementedError
+
+    def save_results(self, results):
+        raise NotImplementedError
+
+    def evaluate(self):
+        raise NotImplementedError
+
+    # -- pipeline ----------------------------------------------------------
+    def __len__(self) -> int:
+        return len(self.sample_ids)
+
+    def preprocess(self, image, image_meta, boxes=None):
+        """Whiten + (train-only) drift/flip + resize-or-crop to input_size."""
+        if boxes is not None:
+            boxes[:, [0, 2]] = np.clip(
+                boxes[:, [0, 2]], 0.0, image_meta["orig_size"][1] - 1.0
+            )
+            boxes[:, [1, 3]] = np.clip(
+                boxes[:, [1, 3]], 0.0, image_meta["orig_size"][0] - 1.0
+            )
+
+        drift_prob = self.cfg.drift_prob if self.phase == "train" else 0.0
+        flip_prob = self.cfg.flip_prob if self.phase == "train" else 0.0
+
+        image, image_meta = whiten(image, image_meta, self.rgb_mean, self.rgb_std)
+        image, image_meta, boxes = drift(image, image_meta, drift_prob, boxes)
+        image, image_meta, boxes = flip(image, image_meta, flip_prob, boxes)
+        if self.cfg.forbid_resize:
+            image, image_meta, boxes = crop_or_pad(
+                image, image_meta, self.input_size, boxes
+            )
+        else:
+            image, image_meta, boxes = resize(image, image_meta, self.input_size, boxes)
+        return image, image_meta, boxes
+
+    def __getitem__(self, index: int) -> dict[str, Any]:
+        image, image_id = self.load_image(index)
+        gt_class_ids, gt_boxes = self.load_annotations(index)
+
+        image_meta = {
+            "index": index,
+            "image_id": image_id,
+            "orig_size": np.array(image.shape, dtype=np.int32),
+        }
+        image, image_meta, gt_boxes = self.preprocess(image, image_meta, gt_boxes)
+        gt = encode_annotations(gt_class_ids, gt_boxes, self.anchors, self.num_classes)
+
+        if self.cfg.debug == 1:
+            vis = image * image_meta["rgb_std"] + image_meta["rgb_mean"]
+            save_path = os.path.join(
+                self.cfg.debug_dir, str(image_meta["image_id"]) + ".png"
+            )
+            visualize_boxes(
+                vis, gt_class_ids, gt_boxes,
+                class_names=self.class_names, save_path=save_path,
+            )
+
+        return {
+            "image": np.ascontiguousarray(image, dtype=np.float32),
+            "image_meta": image_meta,
+            "gt": gt,
+        }
+
+    def inference_item(self, index: int) -> dict[str, Any]:
+        """Annotation-free view for eval/demo (reference DataWrapper,
+        src/engine/detector.py:125-145)."""
+        image, image_id = self.load_image(index)
+        image_meta = {
+            "index": index,
+            "image_id": image_id,
+            "orig_size": np.array(image.shape, dtype=np.int32),
+        }
+        image, image_meta, _ = self.preprocess(image, image_meta, None)
+        return {
+            "image": np.ascontiguousarray(image, dtype=np.float32),
+            "image_meta": image_meta,
+        }

@@ -1,0 +1,135 @@
+"""Host-side batched loading with threaded workers and device prefetch.
+
+Replaces the reference's torch DataLoader worker *processes*
+(src/train.py:40-50) with a thread pool: the heavy per-sample work (PNG
+decode in cv2/native code, cv2 resize) releases the GIL, and threads avoid
+fork/pickle overhead. Batches are numpy (NHWC); `prefetch_to_device` overlaps
+host->HBM transfer with device compute — the TPU analog of
+pin_memory+non_blocking H2D (reference src/engine/trainer.py:36-38).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Any, Callable, Iterator
+
+import numpy as np
+
+
+def _collate(samples: list[dict[str, Any]]) -> dict[str, Any]:
+    batch: dict[str, Any] = {
+        "image": np.stack([s["image"] for s in samples]),
+        "image_metas": [s["image_meta"] for s in samples],
+    }
+    if "gt" in samples[0]:
+        batch["gt"] = np.stack([s["gt"] for s in samples])
+    return batch
+
+
+class DataLoader:
+    """Ordered, threaded batch loader.
+
+    :param dataset: BaseDataset instance.
+    :param inference: use the annotation-free `inference_item` path.
+    :param pad_last: pad the final partial batch to full size by repeating
+        the last sample (static batch shapes for XLA); padded count is
+        reported in the batch as 'num_valid'.
+    """
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool = False,
+        drop_last: bool = False,
+        num_workers: int = 4,
+        inference: bool = False,
+        pad_last: bool = False,
+        seed: int | None = None,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.num_workers = max(1, num_workers)
+        self.inference = inference
+        self.pad_last = pad_last
+        self._rng = np.random.default_rng(seed)
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _indices(self) -> np.ndarray:
+        idx = np.arange(len(self.dataset))
+        if self.shuffle:
+            self._rng.shuffle(idx)
+        return idx
+
+    def __iter__(self) -> Iterator[dict[str, Any]]:
+        fetch = self.dataset.inference_item if self.inference else self.dataset.__getitem__
+        indices = self._indices()
+        n_batches = len(self)
+
+        with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+            # window of in-flight futures, consumed in order
+            futures = {}
+            window = self.num_workers * 2 + self.batch_size
+            submit_at = 0
+
+            def top_up(limit):
+                nonlocal submit_at
+                while submit_at < limit and len(futures) < window:
+                    futures[submit_at] = pool.submit(fetch, int(indices[submit_at]))
+                    submit_at += 1
+
+            total = n_batches * self.batch_size if self.drop_last else len(indices)
+            for b in range(n_batches):
+                start = b * self.batch_size
+                stop = min(start + self.batch_size, total)
+                top_up(min(total, stop + window))
+                samples = [futures.pop(i).result() for i in range(start, stop)]
+                num_valid = len(samples)
+                if self.pad_last and num_valid < self.batch_size:
+                    samples += [samples[-1]] * (self.batch_size - num_valid)
+                batch = _collate(samples)
+                batch["num_valid"] = num_valid
+                yield batch
+
+
+def prefetch_to_device(
+    iterator: Iterator[dict[str, Any]],
+    size: int = 2,
+    to_device: Callable[[dict[str, Any]], dict[str, Any]] | None = None,
+) -> Iterator[dict[str, Any]]:
+    """Run `to_device` (e.g. a sharded jax.device_put of the array fields) a
+    few batches ahead on a background thread, hiding host->HBM latency."""
+    if to_device is None or size <= 0:
+        yield from iterator
+        return
+
+    q: queue.Queue = queue.Queue(maxsize=size)
+    _END = object()
+
+    def producer():
+        try:
+            for batch in iterator:
+                q.put(to_device(batch))
+        except BaseException as e:  # propagate loader errors to consumer
+            q.put(e)
+            return
+        q.put(_END)
+
+    thread = threading.Thread(target=producer, daemon=True)
+    thread.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item

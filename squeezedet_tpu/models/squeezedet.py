@@ -1,0 +1,255 @@
+"""SqueezeDet / SqueezeDet+ backbones and ConvDet head — functional JAX.
+
+TPU-first design decisions:
+
+- **NHWC layout** end to end (TPU-native); the PyTorch-checkpoint converter
+  transposes OIHW -> HWIO once at load time.
+- **Params are a plain nested-dict pytree** (no module framework): trivially
+  shardable with `NamedSharding`, checkpointable with orbax, and easy to map
+  from the reference state-dict names.
+- **Configurable compute dtype**: fp32 for bit-parity gates, bf16 for the MXU
+  fast path. The head output is always returned in fp32 — decode/loss math
+  (exp, softmax, IoU) stays in fp32 regardless.
+- Architecture topology is data (`ARCH_SPECS`), so the forward pass, the
+  parameter initializer, and the torch-key converter all derive from one spec
+  (reference topologies: src/model/squeezedet.py:33-49 for `squeezedet`,
+  :50-67 for `squeezedetplus`; ConvDet head :73-75; gaussian init :89-97).
+- Ceil-mode 3x3/s2 max-pooling is reproduced with explicit right/bottom
+  padding in `lax.reduce_window` — this is what keeps the 384x1248 input on
+  the 24x78 anchor grid; wrong padding silently shifts every anchor.
+
+The head output is reshaped NHWC (B, H, W, K*(C+5)) -> (B, H*W*K, C+5), so
+anchor index (h*W + w)*K + k lines up with
+:func:`squeezedet_tpu.core.anchors.generate_anchors`.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+Params = dict[str, Any]
+
+# Each spec: stem conv (kernel, out_ch, stride, pad) followed by an ordered
+# list of 'pool' markers and fire modules (in_ch, squeeze, expand1, expand3).
+ARCH_SPECS = {
+    "squeezedet": {
+        "stem": dict(kernel=3, out=64, stride=2, pad=1),
+        "body": [
+            "pool",
+            ("fire", 64, 16, 64, 64),
+            ("fire", 128, 16, 64, 64),
+            "pool",
+            ("fire", 128, 32, 128, 128),
+            ("fire", 256, 32, 128, 128),
+            "pool",
+            ("fire", 256, 48, 192, 192),
+            ("fire", 384, 48, 192, 192),
+            ("fire", 384, 64, 256, 256),
+            ("fire", 512, 64, 256, 256),
+            ("fire", 512, 96, 384, 384),
+            ("fire", 768, 96, 384, 384),
+        ],
+        "out_channels": 768,
+    },
+    "squeezedetplus": {
+        "stem": dict(kernel=7, out=96, stride=2, pad=3),
+        "body": [
+            "pool",
+            ("fire", 96, 96, 64, 64),
+            ("fire", 128, 96, 64, 64),
+            ("fire", 128, 192, 128, 128),
+            "pool",
+            ("fire", 256, 192, 128, 128),
+            ("fire", 256, 288, 192, 192),
+            ("fire", 384, 288, 192, 192),
+            ("fire", 384, 384, 256, 256),
+            "pool",
+            ("fire", 512, 384, 256, 256),
+            ("fire", 512, 384, 256, 256),
+            ("fire", 512, 384, 256, 256),
+        ],
+        "out_channels": 512,
+    },
+}
+
+
+@dataclass(frozen=True)
+class ModelSpec:
+    """Static model configuration captured in jit closures."""
+
+    arch: str = "squeezedet"
+    num_classes: int = 3
+    anchors_per_grid: int = 9
+    dropout_prob: float = 0.5
+    compute_dtype: Any = jnp.float32
+
+    @property
+    def head_channels(self) -> int:
+        return self.anchors_per_grid * (self.num_classes + 5)
+
+    @property
+    def backbone_channels(self) -> int:
+        return ARCH_SPECS[self.arch]["out_channels"]
+
+    def grid_size(self, input_size: tuple[int, int]) -> tuple[int, int]:
+        return (input_size[0] // 16, input_size[1] // 16)
+
+
+def fire_param_names(spec_body) -> list[str]:
+    return [f"fire{i}" for i in range(sum(1 for s in spec_body if s != "pool"))]
+
+
+def torch_feature_indices(arch: str) -> dict[str, int]:
+    """Map our param names to the reference `base.features.<idx>` Sequential
+    indices (conv at 0, ReLU at 1, then pools/fires in body order) for the
+    checkpoint converter. Parity: reference src/model/squeezedet.py:33-67."""
+    spec = ARCH_SPECS[arch]
+    mapping = {"stem": 0}
+    idx = 2
+    fire_i = 0
+    for item in spec["body"]:
+        if item == "pool":
+            idx += 1
+        else:
+            mapping[f"fire{fire_i}"] = idx
+            fire_i += 1
+            idx += 1
+    return mapping
+
+
+def _conv_init(key, kh, kw, cin, cout, std):
+    wkey, _ = jax.random.split(key)
+    w = jax.random.normal(wkey, (kh, kw, cin, cout), dtype=jnp.float32) * std
+    b = jnp.zeros((cout,), dtype=jnp.float32)
+    return {"w": w, "b": b}
+
+
+def init_params(rng: jax.Array, spec: ModelSpec) -> Params:
+    """Gaussian init: std 0.002 for the ConvDet head, 0.005 elsewhere, zero
+    biases (reference src/model/squeezedet.py:89-97)."""
+    arch = ARCH_SPECS[spec.arch]
+    stem = arch["stem"]
+    keys = iter(jax.random.split(rng, 64))
+
+    params: Params = {
+        "stem": _conv_init(
+            next(keys), stem["kernel"], stem["kernel"], 3, stem["out"], 0.005
+        )
+    }
+    fire_i = 0
+    for item in arch["body"]:
+        if item == "pool":
+            continue
+        _, cin, sq, e1, e3 = item
+        params[f"fire{fire_i}"] = {
+            "squeeze": _conv_init(next(keys), 1, 1, cin, sq, 0.005),
+            "expand1": _conv_init(next(keys), 1, 1, sq, e1, 0.005),
+            "expand3": _conv_init(next(keys), 3, 3, sq, e3, 0.005),
+        }
+        fire_i += 1
+    params["convdet"] = _conv_init(
+        next(keys), 3, 3, arch["out_channels"], spec.head_channels, 0.002
+    )
+    return params
+
+
+def _conv(x, p, stride=1, pad=0, dtype=jnp.float32):
+    w = p["w"].astype(dtype)
+    out = lax.conv_general_dilated(
+        x.astype(dtype),
+        w,
+        window_strides=(stride, stride),
+        padding=((pad, pad), (pad, pad)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=dtype,
+    )
+    return out + p["b"].astype(dtype)
+
+
+def _maxpool_ceil(x, window=3, stride=2):
+    """3x3/s2 max pool with torch ceil_mode=True semantics: pad right/bottom
+    just enough that the last partial window is kept."""
+    h, w = x.shape[1], x.shape[2]
+    out_h = -(-(h - window) // stride) + 1
+    out_w = -(-(w - window) // stride) + 1
+    pad_h = max(0, (out_h - 1) * stride + window - h)
+    pad_w = max(0, (out_w - 1) * stride + window - w)
+    neg_inf = (
+        -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
+    )
+    return lax.reduce_window(
+        x,
+        neg_inf,
+        lax.max,
+        window_dimensions=(1, window, window, 1),
+        window_strides=(1, stride, stride, 1),
+        padding=((0, 0), (0, pad_h), (0, pad_w), (0, 0)),
+    )
+
+
+def _fire(x, p, dtype):
+    """Squeeze 1x1 -> ReLU -> parallel expand 1x1 & 3x3 -> ReLU -> concat.
+
+    Parity: reference src/model/squeezedet.py:9-23. The concat order
+    (expand1x1 first) determines channel layout and must match checkpoints.
+    """
+    s = jax.nn.relu(_conv(x, p["squeeze"], dtype=dtype))
+    e1 = jax.nn.relu(_conv(s, p["expand1"], dtype=dtype))
+    e3 = jax.nn.relu(_conv(s, p["expand3"], pad=1, dtype=dtype))
+    return jnp.concatenate([e1, e3], axis=-1)
+
+
+def forward(
+    params: Params,
+    images: jnp.ndarray,
+    spec: ModelSpec,
+    *,
+    training: bool = False,
+    dropout_rng: jax.Array | None = None,
+) -> jnp.ndarray:
+    """Run backbone + ConvDet head.
+
+    :param images: (B, H, W, 3) NHWC, already whitened.
+    :return: (B, num_anchors, num_classes + 5) raw head output in fp32,
+        per-anchor layout [class logits | objectness | deltas].
+    """
+    arch = ARCH_SPECS[spec.arch]
+    stem = arch["stem"]
+    dtype = spec.compute_dtype
+
+    if training and spec.dropout_prob > 0 and dropout_rng is None:
+        raise ValueError("dropout_rng required when training with dropout")
+
+    x = jax.nn.relu(
+        _conv(images, params["stem"], stride=stem["stride"], pad=stem["pad"], dtype=dtype)
+    )
+    fire_i = 0
+    for item in arch["body"]:
+        if item == "pool":
+            x = _maxpool_ceil(x)
+        else:
+            x = _fire(x, params[f"fire{fire_i}"], dtype)
+            fire_i += 1
+
+    if training and spec.dropout_prob > 0:
+        keep = 1.0 - spec.dropout_prob
+        mask = jax.random.bernoulli(dropout_rng, keep, x.shape)
+        x = jnp.where(mask, x / jnp.asarray(keep, x.dtype), 0.0)
+
+    x = _conv(x, params["convdet"], pad=1, dtype=dtype)
+
+    b, h, w, _ = x.shape
+    pred = x.reshape(b, h * w * spec.anchors_per_grid, spec.num_classes + 5)
+    return pred.astype(jnp.float32)
+
+
+def count_params(params: Params) -> int:
+    return sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))

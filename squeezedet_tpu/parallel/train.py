@@ -1,0 +1,134 @@
+"""Jitted train / val / predict steps with SPMD data parallelism.
+
+One compiled `train_step` does forward + loss + backward + clip + SGD update
+entirely on device; under a multi-device mesh the batch is sharded on axis 0
+and XLA inserts the gradient all-reduce (the TPU replacement for the
+reference's scatter/replicate/parallel_apply/gather DataParallel,
+src/utils/data_parallel.py:93-101, and its H2D/optimizer-state plumbing,
+src/engine/trainer.py:36-50,82-93).
+
+Optimizer semantics match torch SGD + StepLR (src/train.py:32-36):
+grad-clip(global_norm) -> +weight_decay*param -> momentum buffer ->
+-lr * buf, with lr a *runtime* scalar (no recompile when the schedule
+steps: lr = lr0 * 0.5^((epoch-1)//60)).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from squeezedet_tpu.models.head import resolve
+from squeezedet_tpu.models.loss import LossWeights, detection_loss
+from squeezedet_tpu.models.squeezedet import ModelSpec, forward
+from squeezedet_tpu.ops.postprocess import postprocess
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray  # scalar int32
+
+
+@dataclass(frozen=True)
+class TaskSpec:
+    """Everything static the compiled steps close over."""
+
+    model: ModelSpec
+    input_size: tuple[int, int]
+    num_anchors: int
+    loss_weights: LossWeights = LossWeights()
+    grad_norm: float = 5.0
+    momentum: float = 0.9
+    weight_decay: float = 1e-4
+    top_k: int = 64
+    nms_thresh: float = 0.4
+    score_thresh: float = 0.3
+
+
+def make_optimizer(task: TaskSpec) -> optax.GradientTransformation:
+    """lr-less transform chain; the lr scale is applied in train_step so the
+    schedule is a runtime input."""
+    return optax.chain(
+        optax.clip_by_global_norm(task.grad_norm),
+        optax.add_decayed_weights(task.weight_decay),
+        optax.trace(decay=task.momentum, nesterov=False),
+    )
+
+
+def init_train_state(params, task: TaskSpec) -> TrainState:
+    tx = make_optimizer(task)
+    return TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+
+
+def stepLR(base_lr: float, epoch: int, step_size: int = 60, gamma: float = 0.5) -> float:
+    """torch StepLR(60, 0.5) schedule evaluated at a 1-indexed epoch."""
+    return base_lr * (gamma ** ((epoch - 1) // step_size))
+
+
+def _loss_for_batch(params, images, gt, anchors, task, dropout_rng, training):
+    pred = forward(
+        params, images, task.model, training=training, dropout_rng=dropout_rng
+    )
+    resolved = resolve(
+        pred, anchors, task.input_size, task.model.num_classes, with_log_probs=True
+    )
+    loss, stats = detection_loss(resolved, gt, task.num_anchors, task.loss_weights)
+    return loss.mean(), {k: v.mean() for k, v in stats.items()}
+
+
+def make_train_step(task: TaskSpec):
+    tx = make_optimizer(task)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, images, gt, anchors, lr, rng):
+        dropout_rng = jax.random.fold_in(rng, state.step)
+
+        (loss, stats), grads = jax.value_and_grad(
+            lambda p: _loss_for_batch(
+                p, images, gt, anchors, task, dropout_rng, True
+            ),
+            has_aux=True,
+        )(state.params)
+
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        updates = jax.tree.map(lambda u: -lr * u, updates)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(params, opt_state, state.step + 1)
+        return new_state, stats
+
+    return train_step
+
+
+def make_val_step(task: TaskSpec):
+    @jax.jit
+    def val_step(params, images, gt, anchors):
+        _, stats = _loss_for_batch(params, images, gt, anchors, task, None, False)
+        return stats
+
+    return val_step
+
+
+def make_predict_step(task: TaskSpec):
+    """Forward + full on-device post-processing: returns fixed-shape
+    detections {boxes, scores, class_ids, keep}."""
+
+    @jax.jit
+    def predict_step(params, images, anchors):
+        pred = forward(params, images, task.model, training=False)
+        return postprocess(
+            pred,
+            anchors,
+            input_size=task.input_size,
+            num_classes=task.model.num_classes,
+            top_k=task.top_k,
+            nms_thresh=task.nms_thresh,
+            score_thresh=task.score_thresh,
+        )
+
+    return predict_step
