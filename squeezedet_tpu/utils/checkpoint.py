@@ -1,0 +1,205 @@
+"""Checkpoint IO: orbax train-state checkpoints + PyTorch .pth conversion.
+
+Two formats:
+
+1. **Native (orbax)**: full train state — params, optimizer state, step,
+   epoch — enabling true resume, which the reference lacks (it saves only
+   ``{'epoch', 'state_dict'}`` and always restarts at epoch 1,
+   src/utils/model.py:64-71, src/train.py:56).
+2. **PyTorch ``.pth``** (read-only): one-way converter for the reference's
+   checkpoints — both its own training checkpoints (``state_dict`` with an
+   optional DataParallel ``module.`` prefix, src/utils/model.py:5-41) and
+   the official torchvision SqueezeNet ImageNet files (bare ``features.*``
+   keys, src/utils/model.py:43-61). Conv weights are transposed
+   OIHW -> HWIO for the NHWC model. Loading is tolerant: mismatched /
+   missing / extra tensors warn and keep the fresh initialization.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import jax
+import numpy as np
+
+from squeezedet_tpu.models.squeezedet import (
+    ModelSpec,
+    Params,
+    torch_feature_indices,
+)
+
+# -- native orbax checkpoints ------------------------------------------------
+
+
+def _checkpointer():
+    import orbax.checkpoint as ocp
+
+    return ocp.PyTreeCheckpointer()
+
+
+def save_train_state(path: str, state, epoch: int) -> None:
+    """Save the full train state (params + optimizer + step + epoch)."""
+    path = os.path.abspath(path)
+    payload = {
+        "params": jax.device_get(state.params),
+        "opt_state": jax.device_get(state.opt_state),
+        "step": int(state.step),
+        "epoch": int(epoch),
+    }
+    _checkpointer().save(path, payload, force=True)
+
+
+def load_train_state(path: str, template_state):
+    """Restore into the structure of ``template_state``; returns
+    (TrainState, epoch)."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    template = {
+        "params": jax.device_get(template_state.params),
+        "opt_state": jax.device_get(template_state.opt_state),
+        "step": 0,
+        "epoch": 0,
+    }
+    restored = _checkpointer().restore(
+        path, args=ocp.args.PyTreeRestore(item=template)
+    )
+    state = type(template_state)(
+        params=restored["params"],
+        opt_state=restored["opt_state"],
+        step=np.int32(restored["step"]),
+    )
+    return state, int(restored["epoch"])
+
+
+def save_params(path: str, params: Params, epoch: int = 0) -> None:
+    """Save a params-only checkpoint (the analog of the reference's
+    state_dict files)."""
+    _checkpointer().save(
+        os.path.abspath(path),
+        {"params": jax.device_get(params), "epoch": int(epoch)},
+        force=True,
+    )
+
+
+def load_params(path: str, template: Params) -> tuple[Params, int]:
+    import orbax.checkpoint as ocp
+
+    restored = _checkpointer().restore(
+        os.path.abspath(path),
+        args=ocp.args.PyTreeRestore(
+            item={"params": jax.device_get(template), "epoch": 0}
+        ),
+    )
+    return restored["params"], int(restored["epoch"])
+
+
+# -- PyTorch .pth conversion -------------------------------------------------
+
+
+def _torch_key_map(spec: ModelSpec) -> dict[tuple[str, ...], str]:
+    """Our param-tree paths -> reference state-dict key stems."""
+    feat = torch_feature_indices(spec.arch)
+    mapping: dict[tuple[str, ...], str] = {
+        ("stem",): f"base.features.{feat['stem']}",
+        ("convdet",): "base.convdet",
+    }
+    i = 0
+    while f"fire{i}" in feat:
+        idx = feat[f"fire{i}"]
+        mapping[(f"fire{i}", "squeeze")] = f"base.features.{idx}.squeeze"
+        mapping[(f"fire{i}", "expand1")] = f"base.features.{idx}.expand1x1"
+        mapping[(f"fire{i}", "expand3")] = f"base.features.{idx}.expand3x3"
+        i += 1
+    return mapping
+
+
+def _normalize_torch_keys(state_dict: dict[str, Any]) -> dict[str, Any]:
+    """Strip DataParallel 'module.' prefixes; prepend 'base.' to bare
+    torchvision keys ('features.*', official ImageNet files)."""
+    out = {}
+    for k, v in state_dict.items():
+        if k.startswith("module.") and not k.startswith("module_list"):
+            k = k[7:]
+        if k.startswith("features.") or k.startswith("classifier."):
+            k = "base." + k
+        out[k] = v
+    return out
+
+
+def load_pth_params(
+    model_path: str,
+    init: Params,
+    spec: ModelSpec,
+    verbose: bool = True,
+) -> tuple[Params, int]:
+    """Convert a reference/torchvision .pth into our params pytree.
+
+    Returns (params, epoch). Tensors that are absent or shape-mismatched
+    keep their values from ``init`` (tolerant-load semantics of the
+    reference, src/utils/model.py:19-38).
+    """
+    import torch
+
+    blob = torch.load(model_path, map_location="cpu", weights_only=True)
+    if isinstance(blob, dict) and "state_dict" in blob:
+        epoch = int(blob.get("epoch", 0))
+        state_dict = blob["state_dict"]
+    else:  # raw state dict (official torchvision files)
+        epoch = 0
+        state_dict = blob
+
+    state_dict = _normalize_torch_keys(
+        {k: np.asarray(v) for k, v in state_dict.items()}
+    )
+    key_map = _torch_key_map(spec)
+
+    params = jax.tree.map(np.asarray, init)
+    used = set()
+    problems = []
+
+    for path, stem in key_map.items():
+        node = params
+        for p in path[:-1] if len(path) > 1 else ():
+            node = node[p]
+        leaf = node[path[-1]] if len(path) > 1 else params[path[-1]]
+
+        for ours, theirs in (("w", "weight"), ("b", "bias")):
+            torch_key = f"{stem}.{theirs}"
+            used.add(torch_key)
+            if torch_key not in state_dict:
+                problems.append(f"missing in checkpoint: {torch_key}")
+                continue
+            value = state_dict[torch_key].astype(np.float32)
+            if ours == "w":
+                value = value.transpose(2, 3, 1, 0)  # OIHW -> HWIO
+            if value.shape != leaf[ours].shape:
+                problems.append(
+                    f"shape mismatch {torch_key}: ckpt {value.shape} "
+                    f"vs model {leaf[ours].shape} — keeping init"
+                )
+                continue
+            leaf[ours] = value
+
+    extra = [
+        k for k in state_dict
+        if k not in used and not k.startswith(("base.classifier",))
+    ]
+    for k in extra:
+        problems.append(f"unused checkpoint tensor: {k}")
+
+    if verbose:
+        for msg in problems:
+            print(f"[checkpoint] {msg}")
+        status = "fully" if not problems else "partially"
+        print(f"[checkpoint] {model_path} loaded {status} (epoch {epoch})")
+
+    return params, epoch
+
+
+def load_any(path: str, init: Params, spec: ModelSpec) -> tuple[Params, int]:
+    """Dispatch on checkpoint format: .pth file vs orbax directory."""
+    if path.endswith(".pth"):
+        return load_pth_params(path, init, spec)
+    return load_params(path, init)
