@@ -1,0 +1,44 @@
+#!/usr/bin/env python
+"""SqueezeDet-TPU CLI: ``python main.py {train|eval|demo|bench} [--flags]``.
+
+Flag-compatible with the reference CLI (src/main.py:5-18,
+src/utils/config.py:9-85) plus TPU-specific options; see
+``python main.py train --help``.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from squeezedet_tpu.config import parse
+from squeezedet_tpu.utils.misc import init_env
+
+
+def run() -> None:
+    cfg = parse()
+    init_env(cfg)
+    print("results dir:", cfg.save_dir)
+
+    if cfg.mode == "train":
+        from squeezedet_tpu.train import train
+
+        train(cfg)
+    elif cfg.mode == "eval":
+        from squeezedet_tpu.eval import evaluate
+
+        evaluate(cfg)
+    elif cfg.mode == "demo":
+        from squeezedet_tpu.demo import demo
+
+        demo(cfg)
+    elif cfg.mode == "bench":
+        import bench
+
+        bench.main()
+    else:
+        raise ValueError(f"invalid mode: {cfg.mode}")
+
+
+if __name__ == "__main__":
+    run()

@@ -1,0 +1,115 @@
+"""ctypes bindings for the native C++ image loader (native/dataloader).
+
+The shared library fuses PNG decode + bilinear resize + whitening in C++
+(off the GIL), so DataLoader threads overlap for real on the host.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "native",
+    "dataloader",
+)
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libsqdt_loader.so")
+
+_lib = None
+_load_attempted = False
+
+
+def _get_lib():
+    global _lib, _load_attempted
+    if _load_attempted:
+        return _lib
+    _load_attempted = True
+    if not os.path.exists(_LIB_PATH):
+        try:
+            subprocess.run(
+                ["make", "-C", _NATIVE_DIR], check=True, capture_output=True
+            )
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+    except OSError:
+        return None
+
+    lib.sqdt_png_size.argtypes = [
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int),
+    ]
+    lib.sqdt_png_size.restype = ctypes.c_int
+    lib.sqdt_read_png.argtypes = [
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int,
+        ctypes.c_int,
+    ]
+    lib.sqdt_read_png.restype = ctypes.c_int
+    lib.sqdt_load_resize_whiten.argtypes = [
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_int),
+    ]
+    lib.sqdt_load_resize_whiten.restype = ctypes.c_int
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return _get_lib() is not None
+
+
+def read_png(path: str) -> np.ndarray:
+    """Decode a PNG to float32 RGB HWC."""
+    lib = _get_lib()
+    h, w = ctypes.c_int(), ctypes.c_int()
+    if lib.sqdt_png_size(path.encode(), ctypes.byref(h), ctypes.byref(w)) != 0:
+        raise FileNotFoundError(path)
+    out = np.empty((h.value, w.value, 3), dtype=np.float32)
+    rc = lib.sqdt_read_png(
+        path.encode(),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        h.value,
+        w.value,
+    )
+    if rc != 0:
+        raise IOError(f"native PNG decode failed ({rc}): {path}")
+    return out
+
+
+def load_resize_whiten(
+    path: str,
+    out_hw: tuple[int, int],
+    mean: np.ndarray,
+    std: np.ndarray,
+) -> tuple[np.ndarray, tuple[int, int]]:
+    """Fused decode+resize+whiten. Returns (image (H,W,3) f32, orig (h, w))."""
+    lib = _get_lib()
+    out = np.empty((out_hw[0], out_hw[1], 3), dtype=np.float32)
+    mean = np.ascontiguousarray(np.ravel(mean), dtype=np.float32)
+    std = np.ascontiguousarray(np.ravel(std), dtype=np.float32)
+    orig = (ctypes.c_int * 2)()
+    rc = lib.sqdt_load_resize_whiten(
+        path.encode(),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        out_hw[0],
+        out_hw[1],
+        mean.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        std.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        orig,
+    )
+    if rc != 0:
+        raise IOError(f"native load failed ({rc}): {path}")
+    return out, (orig[0], orig[1])

@@ -1,0 +1,133 @@
+"""Training engine: epoch loops over the jitted SPMD train/val steps.
+
+The device-side work (fwd, loss, bwd, clip, SGD update, gradient all-reduce
+across the mesh) is one compiled call; this class owns the host loop:
+batch prefetch, metric averaging, interval printing, LR schedule
+(epoch-level StepLR), and the per-epoch timing surface the reference
+exposes (src/engine/trainer.py:18-73).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from squeezedet_tpu.data.loader import DataLoader, prefetch_to_device
+from squeezedet_tpu.parallel.mesh import make_mesh, replicate, shard_batch_arrays
+from squeezedet_tpu.parallel.train import (
+    TaskSpec,
+    TrainState,
+    init_train_state,
+    make_train_step,
+    make_val_step,
+    stepLR,
+)
+
+METRICS = ("loss", "class_loss", "score_loss", "bbox_loss")
+
+
+class Trainer:
+    def __init__(self, params, task: TaskSpec, cfg, mesh=None):
+        self.task = task
+        self.cfg = cfg
+        if mesh is None:
+            n = cfg.data_parallel
+            if n == 0:
+                # auto: largest device count that divides the batch evenly
+                n = len(jax.devices())
+                while cfg.batch_size % n != 0:
+                    n -= 1
+            mesh = make_mesh(n)
+        self.mesh = mesh
+        if cfg.batch_size % self.mesh.size != 0:
+            raise ValueError(
+                f"batch_size {cfg.batch_size} not divisible by mesh size "
+                f"{self.mesh.size}"
+            )
+
+        self.state = replicate(self.mesh, init_train_state(params, task))
+        self.anchors = replicate(self.mesh, jnp.asarray(cfg.anchors))
+        self.rng = replicate(self.mesh, jax.random.PRNGKey(cfg.seed))
+        self.train_step = make_train_step(task)
+        self.val_step = make_val_step(task)
+        self.metrics = list(METRICS)
+
+    @property
+    def params(self):
+        return self.state.params
+
+    def learning_rate(self, epoch: int) -> float:
+        return stepLR(self.cfg.lr, epoch)
+
+    def _shard(self, batch):
+        return shard_batch_arrays(self.mesh, batch)
+
+    def run_epoch(self, phase: str, epoch: int, loader: DataLoader) -> dict[str, float]:
+        start_time = time.time()
+        num_iters = len(loader) if self.cfg.num_iters < 0 else self.cfg.num_iters
+        lr = self.learning_rate(epoch)
+
+        sums = {m: 0.0 for m in self.metrics}
+        count = 0
+        data_ms = net_ms = 0.0
+        end = time.time()
+
+        batches = prefetch_to_device(
+            iter(loader), size=self.cfg.prefetch, to_device=self._shard
+        )
+        pending: tuple[Any, int] | None = None  # overlap device compute
+
+        for iter_id, batch in enumerate(batches):
+            if iter_id >= num_iters:
+                break
+            data_ms = 1000.0 * (time.time() - end)
+            end = time.time()
+
+            if phase == "train":
+                self.state, stats = self.train_step(
+                    self.state, batch["image"], batch["gt"], self.anchors, lr,
+                    self.rng,
+                )
+            else:
+                stats = self.val_step(
+                    self.state.params, batch["image"], batch["gt"], self.anchors
+                )
+
+            # resolve the *previous* iteration's stats so device compute
+            # overlaps the host-side metric work (async dispatch)
+            if pending is not None:
+                self._consume(pending, sums, phase, epoch, num_iters)
+                count += pending[2]
+            pending = (stats, iter_id, batch["image"].shape[0], data_ms)
+
+            net_ms = 1000.0 * (time.time() - end)
+            end = time.time()
+
+        if pending is not None:
+            self._consume(pending, sums, phase, epoch, num_iters)
+            count += pending[2]
+
+        stats_out = {m: sums[m] / max(count, 1) for m in self.metrics}
+        stats_out["epoch_time"] = (time.time() - start_time) / 60.0
+        return stats_out
+
+    def _consume(self, pending, sums, phase, epoch, num_iters):
+        stats, iter_id, n, data_ms = pending
+        host = {m: float(stats[m]) for m in self.metrics}
+        for m in self.metrics:
+            sums[m] += host[m] * n
+        if iter_id % self.cfg.print_interval == 0:
+            msg = f"epoch {epoch:<3d} {phase:<5s} [{iter_id}/{num_iters}] "
+            msg += " ".join(f"| {m} {host[m]:.3f}" for m in self.metrics)
+            msg += f" | data {data_ms:.1f}ms"
+            print(msg)
+
+    def train_epoch(self, epoch: int, loader: DataLoader) -> dict[str, float]:
+        return self.run_epoch("train", epoch, loader)
+
+    def val_epoch(self, epoch: int, loader: DataLoader) -> dict[str, float]:
+        return self.run_epoch("val", epoch, loader)

@@ -1,0 +1,140 @@
+"""Train driver: datasets + model + optimizer + engine + logging cadence.
+
+Mirrors the reference control flow (src/train.py:17-84): per-epoch
+checkpointing (last/interval/best), val every ``val_intervals`` epochs with
+optional full mAP evaluation, best-model tracking by mAP (or val loss with
+--no_eval). Improvements over the reference: full train-state checkpoints
+enable true --resume (optimizer + epoch), and the LR schedule is a runtime
+scalar so it never recompiles.
+"""
+
+from __future__ import annotations
+
+import operator
+import os
+
+import jax
+
+from squeezedet_tpu.data.loader import DataLoader
+from squeezedet_tpu.engine.trainer import Trainer
+from squeezedet_tpu.eval import eval_dataset
+from squeezedet_tpu.models.loss import LossWeights
+from squeezedet_tpu.models.squeezedet import ModelSpec, init_params
+from squeezedet_tpu.parallel.train import TaskSpec, TrainState
+from squeezedet_tpu.utils.checkpoint import (
+    load_any,
+    load_train_state,
+    save_params,
+    save_train_state,
+)
+from squeezedet_tpu.utils.logger import Logger
+from squeezedet_tpu.utils.misc import load_dataset
+
+
+def build_task(cfg) -> TaskSpec:
+    import jax.numpy as jnp
+
+    model = ModelSpec(
+        arch=cfg.arch,
+        num_classes=cfg.num_classes,
+        anchors_per_grid=cfg.anchors_per_grid,
+        dropout_prob=cfg.dropout_prob,
+        compute_dtype=jnp.bfloat16 if cfg.mixed_precision else jnp.float32,
+    )
+    return TaskSpec(
+        model=model,
+        input_size=tuple(cfg.input_size),
+        num_anchors=cfg.num_anchors,
+        loss_weights=LossWeights(
+            cfg.class_loss_weight,
+            cfg.positive_score_loss_weight,
+            cfg.negative_score_loss_weight,
+            cfg.bbox_loss_weight,
+        ),
+        grad_norm=cfg.grad_norm,
+        momentum=cfg.momentum,
+        weight_decay=cfg.weight_decay,
+        top_k=cfg.keep_top_k,
+        nms_thresh=cfg.nms_thresh,
+        score_thresh=cfg.score_thresh,
+    )
+
+
+def train(cfg) -> None:
+    Dataset = load_dataset(cfg.dataset)
+    train_dataset = Dataset("train", cfg)
+    val_dataset = Dataset("val", cfg)
+    cfg.update_dataset_info(train_dataset)
+    print(cfg.describe())
+    logger = Logger(cfg)
+
+    task = build_task(cfg)
+    params = init_params(jax.random.PRNGKey(cfg.seed), task.model)
+    if cfg.load_model:
+        params, _ = load_any(cfg.load_model, params, task.model)
+
+    trainer = Trainer(params, task, cfg)
+
+    start_epoch = 1
+    if cfg.resume:
+        state, epoch = load_train_state(cfg.resume, trainer.state)
+        trainer.state = state
+        start_epoch = epoch + 1
+        logger.write(f"resumed from {cfg.resume} at epoch {epoch}")
+
+    train_loader = DataLoader(
+        train_dataset,
+        batch_size=cfg.batch_size,
+        shuffle=True,
+        drop_last=True,
+        num_workers=cfg.num_workers,
+        seed=cfg.seed,
+    )
+    val_loader = DataLoader(
+        val_dataset,
+        batch_size=cfg.batch_size,
+        num_workers=cfg.num_workers,
+        pad_last=True,
+    )
+
+    metrics = trainer.metrics if cfg.no_eval else trainer.metrics + ["mAP"]
+    best = 1e9 if cfg.no_eval else 0.0
+    better_than = operator.lt if cfg.no_eval else operator.gt
+
+    if cfg.profile_dir:
+        jax.profiler.start_trace(cfg.profile_dir)
+
+    for epoch in range(start_epoch, cfg.num_epochs + 1):
+        train_stats = trainer.train_epoch(epoch, train_loader)
+        logger.update(train_stats, phase="train", epoch=epoch)
+
+        save_train_state(
+            os.path.join(cfg.save_dir, "state_last"), trainer.state, epoch
+        )
+        save_path = os.path.join(cfg.save_dir, "model_last")
+        save_params(save_path, trainer.params, epoch)
+        if epoch % cfg.save_intervals == 0:
+            save_path = os.path.join(cfg.save_dir, f"model_{epoch}")
+            save_params(save_path, trainer.params, epoch)
+
+        if cfg.val_intervals > 0 and epoch % cfg.val_intervals == 0:
+            val_stats = trainer.val_epoch(epoch, val_loader)
+            logger.update(val_stats, phase="val", epoch=epoch)
+
+            aps = None
+            if not cfg.no_eval:
+                aps = eval_dataset(val_dataset, trainer.params, cfg, task)
+                logger.update(aps, phase="val", epoch=epoch)
+
+            value = val_stats["loss"] if cfg.no_eval else aps["mAP"]
+            if better_than(value, best):
+                best = value
+                save_params(
+                    os.path.join(cfg.save_dir, "model_best"), trainer.params, epoch
+                )
+
+        logger.plot(metrics)
+        logger.print_bests(metrics)
+
+    if cfg.profile_dir:
+        jax.profiler.stop_trace()

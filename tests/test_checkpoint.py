@@ -1,0 +1,159 @@
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from squeezedet_tpu.models.squeezedet import (
+    ModelSpec,
+    forward,
+    init_params,
+    torch_feature_indices,
+)
+from squeezedet_tpu.parallel.train import TaskSpec, init_train_state
+from squeezedet_tpu.utils.checkpoint import (
+    load_any,
+    load_params,
+    load_pth_params,
+    load_train_state,
+    save_params,
+    save_train_state,
+)
+
+from tests.torch_oracle import forward_torch
+
+SPEC = ModelSpec(num_classes=3, anchors_per_grid=9)
+
+
+def _torch_state_dict(params, spec, prefix="base."):
+    """Build a reference-style state dict (OIHW tensors) from our pytree."""
+    feat = torch_feature_indices(spec.arch)
+    sd = {}
+
+    def put(stem, leaf):
+        sd[f"{stem}.weight"] = torch.from_numpy(
+            np.asarray(leaf["w"]).transpose(3, 2, 0, 1).copy()
+        )
+        sd[f"{stem}.bias"] = torch.from_numpy(np.asarray(leaf["b"]).copy())
+
+    put(f"{prefix}features.{feat['stem']}", params["stem"])
+    i = 0
+    while f"fire{i}" in params:
+        idx = feat[f"fire{i}"]
+        put(f"{prefix}features.{idx}.squeeze", params[f"fire{i}"]["squeeze"])
+        put(f"{prefix}features.{idx}.expand1x1", params[f"fire{i}"]["expand1"])
+        put(f"{prefix}features.{idx}.expand3x3", params[f"fire{i}"]["expand3"])
+        i += 1
+    put(f"{prefix}convdet", params["convdet"])
+    return sd
+
+
+def test_pth_roundtrip_preserves_forward(tmp_path):
+    """Export params as a reference-style .pth, reload, and check the model
+    computes identical outputs."""
+    src = init_params(jax.random.PRNGKey(0), SPEC)
+    sd = _torch_state_dict(src, SPEC)
+    path = str(tmp_path / "model.pth")
+    torch.save({"epoch": 7, "state_dict": sd}, path)
+
+    init = init_params(jax.random.PRNGKey(99), SPEC)  # different init
+    loaded, epoch = load_pth_params(path, init, SPEC, verbose=False)
+    assert epoch == 7
+
+    x = jnp.asarray(np.random.default_rng(1).normal(size=(1, 96, 96, 3)), jnp.float32)
+    out_src = np.asarray(forward(src, x, SPEC))
+    out_loaded = np.asarray(forward(loaded, x, SPEC))
+    np.testing.assert_allclose(out_loaded, out_src, rtol=1e-6, atol=1e-6)
+
+
+def test_pth_module_prefix_stripped(tmp_path):
+    src = init_params(jax.random.PRNGKey(0), SPEC)
+    sd = _torch_state_dict(src, SPEC, prefix="module.base.")
+    path = str(tmp_path / "dp.pth")
+    torch.save({"epoch": 1, "state_dict": sd}, path)
+
+    loaded, _ = load_pth_params(
+        path, init_params(jax.random.PRNGKey(9), SPEC), SPEC, verbose=False
+    )
+    np.testing.assert_allclose(
+        np.asarray(loaded["stem"]["w"]), np.asarray(src["stem"]["w"])
+    )
+
+
+def test_official_torchvision_format(tmp_path):
+    """Bare features.* keys (no wrapper dict) like the torchvision ImageNet
+    checkpoints; backbone tensors load, convdet stays at init."""
+    src = init_params(jax.random.PRNGKey(0), SPEC)
+    sd = _torch_state_dict(src, SPEC, prefix="")
+    del sd["convdet.weight"], sd["convdet.bias"]
+    sd = {k: v for k, v in sd.items() if k.startswith("features.")}
+    path = str(tmp_path / "squeezenet1_1.pth")
+    torch.save(sd, path)
+
+    init = init_params(jax.random.PRNGKey(5), SPEC)
+    loaded, epoch = load_pth_params(path, init, SPEC, verbose=False)
+    assert epoch == 0
+    np.testing.assert_allclose(
+        np.asarray(loaded["fire3"]["squeeze"]["w"]),
+        np.asarray(src["fire3"]["squeeze"]["w"]),
+    )
+    # head untouched
+    np.testing.assert_allclose(
+        np.asarray(loaded["convdet"]["w"]), np.asarray(init["convdet"]["w"])
+    )
+
+
+def test_pth_shape_mismatch_keeps_init(tmp_path):
+    src = init_params(jax.random.PRNGKey(0), SPEC)
+    sd = _torch_state_dict(src, SPEC)
+    sd["base.convdet.weight"] = torch.zeros(36, 768, 3, 3)  # wrong out chans
+    path = str(tmp_path / "mismatch.pth")
+    torch.save({"epoch": 2, "state_dict": sd}, path)
+
+    init = init_params(jax.random.PRNGKey(5), SPEC)
+    loaded, _ = load_pth_params(path, init, SPEC, verbose=False)
+    np.testing.assert_allclose(
+        np.asarray(loaded["convdet"]["w"]), np.asarray(init["convdet"]["w"])
+    )
+    # everything else loaded
+    np.testing.assert_allclose(
+        np.asarray(loaded["stem"]["w"]), np.asarray(src["stem"]["w"])
+    )
+
+
+def test_orbax_params_roundtrip(tmp_path):
+    params = init_params(jax.random.PRNGKey(0), SPEC)
+    path = str(tmp_path / "ckpt" / "model_3")
+    save_params(path, params, epoch=3)
+    template = init_params(jax.random.PRNGKey(4), SPEC)
+    loaded, epoch = load_params(path, template)
+    assert epoch == 3
+    for a, b in zip(jax.tree.leaves(loaded), jax.tree.leaves(params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_orbax_train_state_roundtrip(tmp_path):
+    task = TaskSpec(model=SPEC, input_size=(96, 160), num_anchors=180)
+    state = init_train_state(init_params(jax.random.PRNGKey(0), SPEC), task)
+    # make optimizer state non-trivial
+    state = state._replace(step=jnp.asarray(17, jnp.int32))
+
+    path = str(tmp_path / "ckpt" / "state_last")
+    save_train_state(path, state, epoch=12)
+
+    template = init_train_state(init_params(jax.random.PRNGKey(8), SPEC), task)
+    restored, epoch = load_train_state(path, template)
+    assert epoch == 12
+    assert int(restored.step) == 17
+    for a, b in zip(jax.tree.leaves(restored.params), jax.tree.leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_load_any_dispatch(tmp_path):
+    params = init_params(jax.random.PRNGKey(0), SPEC)
+    path = str(tmp_path / "p1")
+    save_params(path, params, epoch=5)
+    loaded, epoch = load_any(path, init_params(jax.random.PRNGKey(1), SPEC), SPEC)
+    assert epoch == 5

@@ -1,0 +1,128 @@
+"""End-to-end slice: synthetic mini-KITTI on disk -> train loop (loader,
+SPMD trainer, checkpoints) -> detector -> KITTI result txts -> native C++
+evaluator -> mAP. Uses a reduced input size so the whole stack runs in
+seconds on the CPU test backend."""
+
+import os
+
+import numpy as np
+import pytest
+
+from squeezedet_tpu.config import Config
+from squeezedet_tpu.core.anchors import generate_anchors
+from squeezedet_tpu.data.kitti import KITTI, KITTI_ANCHOR_SEEDS
+
+
+class TinyKITTI(KITTI):
+    """KITTI with a 96x160 input so CPU tests stay fast."""
+
+    def __init__(self, phase, cfg):
+        super().__init__(phase, cfg)
+        self.input_size = (96, 160)
+        self.grid_size = (6, 10)
+        self.anchors_seed = (KITTI_ANCHOR_SEEDS / 4.0).astype(np.float32)
+        self.anchors = generate_anchors(
+            self.grid_size, self.input_size, self.anchors_seed
+        )
+        self.num_anchors = self.anchors.shape[0]
+
+
+def _make_kitti_tree(root, n_images=4):
+    import cv2
+
+    kitti = os.path.join(root, "kitti")
+    os.makedirs(os.path.join(kitti, "image_sets"))
+    os.makedirs(os.path.join(kitti, "training/image_2"))
+    os.makedirs(os.path.join(kitti, "training/label_2"))
+
+    rng = np.random.default_rng(0)
+    ids = [f"{i:06d}" for i in range(n_images)]
+    for i, fid in enumerate(ids):
+        img = rng.integers(0, 255, (200, 600, 3), dtype=np.uint8)
+        # paint a bright "car" rectangle
+        x1, y1 = 100 + 40 * i, 50 + 10 * i
+        img[y1 : y1 + 80, x1 : x1 + 120] = (250, 60, 60)
+        cv2.imwrite(
+            os.path.join(kitti, "training/image_2", fid + ".png"),
+            img[:, :, ::-1],
+        )
+        with open(
+            os.path.join(kitti, "training/label_2", fid + ".txt"), "w"
+        ) as fp:
+            fp.write(
+                f"Car 0.0 0 0.0 {x1}.00 {y1}.00 {x1 + 120}.00 {y1 + 80}.00"
+                " 1 1 1 0 0 0 0\n"
+            )
+            fp.write(
+                "Pedestrian 0.0 0 0.0 10.00 20.00 60.00 150.00 1 1 1 0 0 0 0\n"
+            )
+
+    for name in ("train.txt", "val.txt", "trainval.txt"):
+        with open(os.path.join(kitti, "image_sets", name), "w") as fp:
+            fp.writelines(f"{i}\n" for i in ids)
+    return kitti
+
+
+def _cfg(tmp_path, **overrides):
+    kwargs = dict(
+        mode="train",
+        batch_size=2,
+        num_epochs=2,
+        val_intervals=1,
+        save_intervals=1,
+        num_workers=2,
+        keep_top_k=16,
+        drift_prob=0.5,
+        flip_prob=0.5,
+        seed=42,
+    )
+    kwargs.update(overrides)
+    cfg = Config(**kwargs)
+    cfg.finalize_dirs(root_dir=str(tmp_path))
+    cfg.data_dir = str(tmp_path / "data")
+    cfg.save_dir = str(tmp_path / "exp")
+    cfg.debug_dir = str(tmp_path / "exp" / "debug")
+    return cfg
+
+
+def test_full_train_eval_cycle(tmp_path, monkeypatch):
+    _make_kitti_tree(str(tmp_path / "data"))
+    cfg = _cfg(tmp_path)
+
+    import squeezedet_tpu.train as train_mod
+
+    monkeypatch.setattr(train_mod, "load_dataset", lambda name: TinyKITTI)
+    train_mod.train(cfg)
+
+    # checkpoints written
+    assert os.path.isdir(os.path.join(cfg.save_dir, "model_last"))
+    assert os.path.isdir(os.path.join(cfg.save_dir, "state_last"))
+    assert os.path.isdir(os.path.join(cfg.save_dir, "model_2"))
+
+    # evaluator ran and produced AP stats + log
+    results_dir = os.path.join(cfg.save_dir, "results")
+    assert os.path.isdir(os.path.join(results_dir, "data"))
+    logs = [d for d in os.listdir(cfg.save_dir) if d.startswith("logs_")]
+    assert logs
+    log_txt = os.path.join(cfg.save_dir, logs[0], "log.txt")
+    content = open(log_txt).read()
+    assert "mAP" in content and "train" in content and "val" in content
+
+
+def test_resume_from_state(tmp_path, monkeypatch):
+    _make_kitti_tree(str(tmp_path / "data"))
+    cfg = _cfg(tmp_path, num_epochs=1, no_eval=True)
+
+    import squeezedet_tpu.train as train_mod
+
+    monkeypatch.setattr(train_mod, "load_dataset", lambda name: TinyKITTI)
+    train_mod.train(cfg)
+
+    state_dir = os.path.join(cfg.save_dir, "state_last")
+    cfg2 = _cfg(tmp_path, num_epochs=2, no_eval=True, resume=state_dir)
+    train_mod.train(cfg2)  # resumes at epoch 2, runs 1 more epoch
+
+    logs = sorted(d for d in os.listdir(cfg2.save_dir) if d.startswith("logs_"))
+    content = open(os.path.join(cfg2.save_dir, logs[-1], "log.txt")).read()
+    assert "resumed" in content
+    assert "epoch 2" in content
