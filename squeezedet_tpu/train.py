@@ -40,6 +40,7 @@ def build_task(cfg) -> TaskSpec:
         anchors_per_grid=cfg.anchors_per_grid,
         dropout_prob=cfg.dropout_prob,
         compute_dtype=jnp.bfloat16 if cfg.mixed_precision else jnp.float32,
+        use_pallas=cfg.use_pallas,
     )
     return TaskSpec(
         model=model,
@@ -90,11 +91,12 @@ def train(cfg) -> None:
         num_workers=cfg.num_workers,
         seed=cfg.seed,
     )
+    # no pad_last: padded duplicates would skew the val loss; the one
+    # remainder-sized batch costs a single extra compile
     val_loader = DataLoader(
         val_dataset,
         batch_size=cfg.batch_size,
         num_workers=cfg.num_workers,
-        pad_last=True,
     )
 
     metrics = trainer.metrics if cfg.no_eval else trainer.metrics + ["mAP"]

@@ -80,7 +80,12 @@ def test_param_count_squeezedet():
 def test_dropout_train_vs_eval():
     spec = ModelSpec(dropout_prob=0.5)
     params = init_params(jax.random.PRNGKey(0), spec)
-    x = jnp.ones((1, 96, 96, 3))
+    # the tiny gaussian init makes deep activations underflow to exactly 0
+    # on CPU, hiding dropout; scale weights so signal survives all layers
+    params = jax.tree.map(lambda a: a * 40.0, params)
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(1, 96, 96, 3)), jnp.float32
+    )
     eval_out = forward(params, x, spec, training=False)
     train_out = forward(
         params, x, spec, training=True, dropout_rng=jax.random.PRNGKey(3)
