@@ -34,8 +34,10 @@ BASELINE_EPOCH_S = 36.0  # reference V100 s/epoch (3,740 images)
 BATCH = 20
 INPUT_SIZE = (384, 1248)
 WARMUP = 3
-ITERS = 30
-IN_FLIGHT = 3
+ITERS = 60
+# dispatch through the axon tunnel costs ~28ms/call; a deep in-flight
+# window keeps the chip fed (device time is ~12ms/batch)
+IN_FLIGHT = 16
 
 
 def main() -> None:

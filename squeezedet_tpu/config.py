@@ -71,6 +71,8 @@ class Config:
     profile_dir: str = ""  # jax.profiler trace output ('' = off)
     native_loader: bool = True  # use the C++ image loader when built
     use_pallas: bool = False  # Pallas kernels for hot ops (else lax path)
+    serve_uint8: bool = False  # ship raw uint8 batches; whitening folded
+    #   into the stem conv on device (4x less H2D traffic)
 
     # derived (filled by parse/update_dataset_info)
     root_dir: str = ""

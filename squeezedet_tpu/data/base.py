@@ -67,8 +67,13 @@ class BaseDataset:
     def __len__(self) -> int:
         return len(self.sample_ids)
 
-    def preprocess(self, image, image_meta, boxes=None):
-        """Whiten + (train-only) drift/flip + resize-or-crop to input_size."""
+    def preprocess(self, image, image_meta, boxes=None, whiten_input=True):
+        """Whiten + (train-only) drift/flip + resize-or-crop to input_size.
+
+        With ``whiten_input=False`` the image stays in raw 0-255 space (the
+        uint8 serving path folds whitening into the stem conv instead —
+        models.squeezedet.fold_whitening).
+        """
         if boxes is not None:
             boxes[:, [0, 2]] = np.clip(
                 boxes[:, [0, 2]], 0.0, image_meta["orig_size"][1] - 1.0
@@ -80,7 +85,8 @@ class BaseDataset:
         drift_prob = self.cfg.drift_prob if self.phase == "train" else 0.0
         flip_prob = self.cfg.flip_prob if self.phase == "train" else 0.0
 
-        image, image_meta = whiten(image, image_meta, self.rgb_mean, self.rgb_std)
+        if whiten_input:
+            image, image_meta = whiten(image, image_meta, self.rgb_mean, self.rgb_std)
         image, image_meta, boxes = drift(image, image_meta, drift_prob, boxes)
         image, image_meta, boxes = flip(image, image_meta, flip_prob, boxes)
         if self.cfg.forbid_resize:
@@ -101,6 +107,16 @@ class BaseDataset:
             "orig_size": np.array(image.shape, dtype=np.int32),
         }
         image, image_meta, gt_boxes = self.preprocess(image, image_meta, gt_boxes)
+
+        if gt_boxes is not None and len(gt_boxes):
+            # cropping (forbid_resize) clamps boxes at the canvas edge and
+            # can collapse ones that left the frame; degenerate boxes would
+            # poison the matcher (the reference crashes on them instead)
+            valid = (gt_boxes[:, 0] < gt_boxes[:, 2]) & (
+                gt_boxes[:, 1] < gt_boxes[:, 3]
+            )
+            gt_boxes = gt_boxes[valid]
+            gt_class_ids = np.asarray(gt_class_ids)[valid]
         gt = encode_annotations(gt_class_ids, gt_boxes, self.anchors, self.num_classes)
 
         if self.cfg.debug == 1:
@@ -119,17 +135,21 @@ class BaseDataset:
             "gt": gt,
         }
 
-    def inference_item(self, index: int) -> dict[str, Any]:
+    def inference_item(self, index: int, raw: bool = False) -> dict[str, Any]:
         """Annotation-free view for eval/demo (reference DataWrapper,
-        src/engine/detector.py:125-145)."""
+        src/engine/detector.py:125-145). With ``raw=True`` the image skips
+        whitening and ships as uint8 (serving fast path)."""
         image, image_id = self.load_image(index)
         image_meta = {
             "index": index,
             "image_id": image_id,
             "orig_size": np.array(image.shape, dtype=np.int32),
         }
-        image, image_meta, _ = self.preprocess(image, image_meta, None)
+        image, image_meta, _ = self.preprocess(
+            image, image_meta, None, whiten_input=not raw
+        )
+        dtype = np.uint8 if raw else np.float32
         return {
-            "image": np.ascontiguousarray(image, dtype=np.float32),
+            "image": np.ascontiguousarray(np.clip(image, 0, 255) if raw else image, dtype=dtype),
             "image_meta": image_meta,
         }

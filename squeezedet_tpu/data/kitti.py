@@ -108,7 +108,7 @@ class KITTI(BaseDataset):
 
     def evaluate(self) -> dict[str, float]:
         """Run the native AP evaluator and parse per-class/difficulty APs."""
-        from squeezedet_tpu.utils.kitti_eval import run_kitti_eval
+        from squeezedet_tpu.utils.kitti_eval import plot_pr_curves, run_kitti_eval
 
         run_kitti_eval(
             gt_dir=os.path.join(self.data_dir, "training"),
@@ -116,6 +116,7 @@ class KITTI(BaseDataset):
             results_dir=self.results_dir,
             num_images=len(self.sample_ids),
         )
+        plot_pr_curves(self.results_dir)
 
         aps: dict[str, float] = {}
         for class_name in self.class_names:

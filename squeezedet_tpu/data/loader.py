@@ -48,6 +48,7 @@ class DataLoader:
         inference: bool = False,
         pad_last: bool = False,
         seed: int | None = None,
+        raw_uint8: bool = False,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -56,6 +57,7 @@ class DataLoader:
         self.num_workers = max(1, num_workers)
         self.inference = inference
         self.pad_last = pad_last
+        self.raw_uint8 = raw_uint8
         self._rng = np.random.default_rng(seed)
 
     def __len__(self) -> int:
@@ -71,7 +73,13 @@ class DataLoader:
         return idx
 
     def __iter__(self) -> Iterator[dict[str, Any]]:
-        fetch = self.dataset.inference_item if self.inference else self.dataset.__getitem__
+        if self.inference:
+            if self.raw_uint8:
+                fetch = lambda i: self.dataset.inference_item(i, raw=True)  # noqa: E731
+            else:
+                fetch = self.dataset.inference_item
+        else:
+            fetch = self.dataset.__getitem__
         indices = self._indices()
         n_batches = len(self)
 

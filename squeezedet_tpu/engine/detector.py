@@ -26,11 +26,18 @@ from squeezedet_tpu.utils.misc import MetricLogger
 
 class Detector:
     def __init__(self, params, task: TaskSpec, cfg):
-        self.params = params
         self.task = task
         self.cfg = cfg
         self.anchors = jnp.asarray(cfg.anchors)
         self.predict = make_predict_step(task)
+        self.serve_uint8 = bool(getattr(cfg, "serve_uint8", False))
+        if self.serve_uint8:
+            # uint8 serving: whitening folded into the stem conv; batches
+            # ship raw (4x less H2D) and are cast to compute dtype on device
+            from squeezedet_tpu.models.squeezedet import fold_whitening
+
+            params = fold_whitening(params, cfg.rgb_mean, cfg.rgb_std)
+        self.params = params
 
     def detect(self, batch: dict[str, Any]) -> list[dict[str, Any]]:
         """Run one batch; returns one result dict per valid image, with
@@ -77,6 +84,7 @@ class Detector:
             num_workers=self.cfg.num_workers,
             inference=True,
             pad_last=True,  # static batch shape: no recompiles on remainder
+            raw_uint8=self.serve_uint8,
         )
         num_iters = len(loader)
         data_timer, net_timer = MetricLogger(), MetricLogger()

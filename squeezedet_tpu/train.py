@@ -103,9 +103,19 @@ def train(cfg) -> None:
     best = 1e9 if cfg.no_eval else 0.0
     better_than = operator.lt if cfg.no_eval else operator.gt
 
-    if cfg.profile_dir:
-        jax.profiler.start_trace(cfg.profile_dir)
+    from squeezedet_tpu.utils.profiling import maybe_trace
 
+    with maybe_trace(cfg.profile_dir):
+        _train_epochs(
+            cfg, trainer, logger, train_loader, val_loader, val_dataset,
+            task, metrics, best, better_than, start_epoch,
+        )
+
+
+def _train_epochs(
+    cfg, trainer, logger, train_loader, val_loader, val_dataset, task,
+    metrics, best, better_than, start_epoch,
+):
     for epoch in range(start_epoch, cfg.num_epochs + 1):
         train_stats = trainer.train_epoch(epoch, train_loader)
         logger.update(train_stats, phase="train", epoch=epoch)
@@ -137,6 +147,3 @@ def train(cfg) -> None:
 
         logger.plot(metrics)
         logger.print_bests(metrics)
-
-    if cfg.profile_dir:
-        jax.profiler.stop_trace()

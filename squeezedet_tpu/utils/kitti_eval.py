@@ -346,6 +346,48 @@ def evaluate_python(
                 fp.write(" ".join(row) + "\n")
 
 
+def plot_pr_curves(results_dir: str) -> list[str]:
+    """Render precision/recall (and AOS) curves from the evaluator's
+    plot-data files as PNGs — the matplotlib equivalent of the devkit's
+    gnuplot output (reference shells out to gnuplot/ps2pdf,
+    src/utils/kitti-eval/cpp/evaluate_object.cpp:583-643)."""
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except Exception:  # pragma: no cover
+        return []
+
+    plot_dir = os.path.join(results_dir, "plot")
+    if not os.path.isdir(plot_dir):
+        return []
+
+    written = []
+    for name in os.listdir(plot_dir):
+        if not name.endswith(".txt"):
+            continue
+        data = np.loadtxt(os.path.join(plot_dir, name))
+        if data.ndim != 2 or data.shape[1] != 4:
+            continue
+        is_aos = "orientation" in name
+        plt.figure(figsize=(4.5, 3.2), dpi=120)
+        for col, label in zip((1, 2, 3), ("Easy", "Moderate", "Hard")):
+            plt.plot(data[:, 0], data[:, col], label=label)
+        plt.xlim(0, 1)
+        plt.ylim(0, 1)
+        plt.xlabel("Recall")
+        plt.ylabel("Orientation Similarity" if is_aos else "Precision")
+        plt.title(name.replace(".txt", "").replace("_", " ").title())
+        plt.grid(alpha=0.4)
+        plt.legend()
+        out = os.path.join(plot_dir, name.replace(".txt", ".png"))
+        plt.savefig(out, bbox_inches="tight")
+        plt.close()
+        written.append(out)
+    return written
+
+
 def parse_aps(results_dir: str, class_names=("Car", "Pedestrian", "Cyclist")):
     """Read stats_*_ap.txt files into {class_difficulty: AP} + mAP."""
     aps: dict[str, float] = {}

@@ -26,9 +26,28 @@ class MetricLogger:
 
 
 def init_env(cfg) -> None:
-    """Seed host-side RNG. Device-side randomness is explicit jax.random
-    keys derived from cfg.seed; there is no global device seed to set."""
+    """Seed host-side RNG and (optionally) join a multi-host cluster.
+
+    Device-side randomness is explicit jax.random keys derived from
+    cfg.seed; there is no global device seed to set. For multi-host TPU
+    pods set SQDT_COORDINATOR (+ SQDT_NUM_PROCESSES / SQDT_PROCESS_ID) and
+    every host calls `jax.distributed.initialize`; the SPMD train step is
+    host-count-agnostic — the mesh just spans all global devices and XLA
+    routes the gradient all-reduce over ICI/DCN.
+    """
     np.random.seed(cfg.seed)
+
+    import os
+
+    coordinator = os.environ.get("SQDT_COORDINATOR")
+    if coordinator:
+        import jax
+
+        jax.distributed.initialize(
+            coordinator_address=coordinator,
+            num_processes=int(os.environ.get("SQDT_NUM_PROCESSES", "1")),
+            process_id=int(os.environ.get("SQDT_PROCESS_ID", "0")),
+        )
 
 
 def load_dataset(name: str):

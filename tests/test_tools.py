@@ -1,0 +1,81 @@
+import os
+
+import numpy as np
+import pytest
+
+from squeezedet_tpu.tools.compute_dataset_mean_and_std import compute_mean_and_std
+from squeezedet_tpu.tools.compute_dataset_seed_anchors import (
+    _kmeans_pp,
+    compute_seed_anchors,
+)
+from squeezedet_tpu.tools.random_split_train_val import split
+
+
+class FakeDataset:
+    def __init__(self, n=20, seed=0):
+        rng = np.random.default_rng(seed)
+        self.images = [
+            rng.uniform(0, 255, (8, 10, 3)).astype(np.float32) for _ in range(n)
+        ]
+        self.boxes = []
+        for _ in range(n):
+            k = rng.integers(1, 4)
+            x1 = rng.uniform(0, 50, (k, 1))
+            y1 = rng.uniform(0, 50, (k, 1))
+            w = rng.uniform(10, 100, (k, 1))
+            h = rng.uniform(10, 60, (k, 1))
+            self.boxes.append(
+                np.concatenate([x1, y1, x1 + w, y1 + h], axis=1).astype(np.float32)
+            )
+
+    def __len__(self):
+        return len(self.images)
+
+    def load_image(self, i):
+        return self.images[i], str(i)
+
+    def load_annotations(self, i):
+        return np.zeros(len(self.boxes[i]), np.int16), self.boxes[i]
+
+
+def test_split_is_seeded_and_disjoint(tmp_path):
+    ids = [f"{i:06d}" for i in range(11)]
+    (tmp_path / "trainval.txt").write_text("\n".join(ids) + "\n")
+    train_file, val_file = split(str(tmp_path), seed=42)
+    train = open(train_file).read().split()
+    val = open(val_file).read().split()
+    assert len(train) == 5 and len(val) == 6
+    assert not set(train) & set(val)
+    assert sorted(train + val) == ids
+    assert train == sorted(train) and val == sorted(val)
+
+    # deterministic
+    train2, _ = split(str(tmp_path), seed=42)
+    assert open(train2).read().split() == train
+
+
+def test_mean_and_std():
+    ds = FakeDataset()
+    mean, std = compute_mean_and_std(ds, num_workers=2)
+    want_mean = np.mean([im.mean(axis=(0, 1)) for im in ds.images], axis=0)
+    want_std = np.mean([im.std(axis=(0, 1)) for im in ds.images], axis=0)
+    np.testing.assert_allclose(mean, want_mean, rtol=1e-6)
+    np.testing.assert_allclose(std, want_std, rtol=1e-6)
+
+
+def test_seed_anchors_shape_and_sorted():
+    ds = FakeDataset(40)
+    seeds = compute_seed_anchors(ds, anchors_per_grid=4, num_workers=2)
+    assert seeds.shape == (4, 2)
+    areas = seeds[:, 0] * seeds[:, 1]
+    assert np.all(np.diff(areas) >= 0)
+
+
+def test_kmeans_pp_fallback_clusters():
+    rng = np.random.default_rng(0)
+    a = rng.normal([10, 10], 1, (50, 2))
+    b = rng.normal([100, 50], 1, (50, 2))
+    centers = _kmeans_pp(np.concatenate([a, b]), 2, seed=1)
+    centers = centers[np.argsort(centers[:, 0])]
+    np.testing.assert_allclose(centers[0], [10, 10], atol=1.5)
+    np.testing.assert_allclose(centers[1], [100, 50], atol=1.5)
