@@ -46,23 +46,11 @@ class Detector:
         out = jax.device_get(out)
 
         num_valid = batch.get("num_valid", len(batch["image_metas"]))
-        results = []
-        for b in range(num_valid):
-            meta = batch["image_metas"][b]
-            keep = out["keep"][b]
-            result: dict[str, Any] = {"image_meta": meta}
-            if keep.any():
-                boxes = out["boxes"][b][keep]
-                result.update(
-                    class_ids=out["class_ids"][b][keep],
-                    scores=out["scores"][b][keep],
-                    boxes=boxes_postprocess(boxes, meta),
-                )
-            results.append(result)
-
-            if self.cfg.debug == 2 and "boxes" in result:
-                self._visualize(batch["image"][b], result, meta)
-        return results
+        debug_images = batch["image"] if self.cfg.debug == 2 else None
+        return [
+            self._finalize(out, b, batch["image_metas"][b], debug_images)
+            for b in range(num_valid)
+        ]
 
     def _visualize(self, image_nhwc, result, meta):
         image = image_postprocess(np.asarray(image_nhwc), meta)
@@ -76,7 +64,12 @@ class Detector:
             save_path=save_path,
         )
 
-    def detect_dataset(self, dataset) -> list[dict[str, Any]]:
+    def detect_dataset(self, dataset, in_flight: int = 4) -> list[dict[str, Any]]:
+        """Detect a whole dataset with a pipelined device loop: host loading
+        (threaded), H2D, device predict, and D2H of previous batches all
+        overlap via a bounded in-flight window."""
+        import collections
+
         start_time = time.time()
         loader = DataLoader(
             dataset,
@@ -90,12 +83,28 @@ class Detector:
         data_timer, net_timer = MetricLogger(), MetricLogger()
         end = time.time()
 
-        results = []
+        results: list[dict[str, Any]] = []
+        window: collections.deque = collections.deque()
+
+        def drain():
+            out, metas, num_valid, images = window.popleft()
+            out = jax.device_get(out)
+            for b in range(num_valid):
+                results.append(self._finalize(out, b, metas[b], images))
+
         for iter_id, batch in enumerate(loader):
             data_timer.update(time.time() - end)
             end = time.time()
 
-            results.extend(self.detect(batch))
+            out = self.predict(
+                self.params, jnp.asarray(batch["image"]), self.anchors
+            )
+            debug_images = batch["image"] if self.cfg.debug == 2 else None
+            window.append(
+                (out, batch["image_metas"], batch["num_valid"], debug_images)
+            )
+            if len(window) > in_flight:
+                drain()
 
             net_timer.update(time.time() - end)
             end = time.time()
@@ -104,6 +113,8 @@ class Detector:
                     f"eval: [{iter_id}/{num_iters}] | data {data_timer.val:.3f}s"
                     f" | net {net_timer.val:.3f}s"
                 )
+        while window:
+            drain()
 
         total = time.time() - start_time
         tpi = total / max(len(dataset), 1)
@@ -113,3 +124,17 @@ class Detector:
         )
         print("-" * 80)
         return results
+
+    def _finalize(self, out, b, meta, images) -> dict[str, Any]:
+        """Host-side tail per image: mask, un-map, optional visualization."""
+        keep = out["keep"][b]
+        result: dict[str, Any] = {"image_meta": meta}
+        if keep.any():
+            result.update(
+                class_ids=out["class_ids"][b][keep],
+                scores=out["scores"][b][keep],
+                boxes=boxes_postprocess(out["boxes"][b][keep], meta),
+            )
+        if images is not None and "boxes" in result:
+            self._visualize(images[b], result, meta)
+        return result

@@ -79,7 +79,12 @@ class Trainer:
         batches = prefetch_to_device(
             iter(loader), size=self.cfg.prefetch, to_device=self._shard
         )
-        pending: tuple[Any, int] | None = None  # overlap device compute
+        # stats from the last few steps stay un-synced on device, so the
+        # next dispatch overlaps both device compute and the D2H readback
+        import collections
+
+        pending: collections.deque = collections.deque()
+        window = max(2, self.cfg.prefetch)
 
         for iter_id, batch in enumerate(batches):
             if iter_id >= num_iters:
@@ -97,19 +102,15 @@ class Trainer:
                     self.state.params, batch["image"], batch["gt"], self.anchors
                 )
 
-            # resolve the *previous* iteration's stats so device compute
-            # overlaps the host-side metric work (async dispatch)
-            if pending is not None:
-                self._consume(pending, sums, phase, epoch, num_iters)
-                count += pending[2]
-            pending = (stats, iter_id, batch["image"].shape[0], data_ms)
+            pending.append((stats, iter_id, batch["image"].shape[0], data_ms))
+            if len(pending) > window:
+                count += self._consume(pending.popleft(), sums, phase, epoch, num_iters)
 
             net_ms = 1000.0 * (time.time() - end)
             end = time.time()
 
-        if pending is not None:
-            self._consume(pending, sums, phase, epoch, num_iters)
-            count += pending[2]
+        while pending:
+            count += self._consume(pending.popleft(), sums, phase, epoch, num_iters)
 
         stats_out = {m: sums[m] / max(count, 1) for m in self.metrics}
         stats_out["epoch_time"] = (time.time() - start_time) / 60.0
@@ -132,6 +133,7 @@ class Trainer:
             msg += " ".join(f"| {m} {host[m]:.3f}" for m in self.metrics)
             msg += f" | data {data_ms:.1f}ms"
             print(msg)
+        return n
 
     def train_epoch(self, epoch: int, loader: DataLoader) -> dict[str, float]:
         return self.run_epoch("train", epoch, loader)
