@@ -44,6 +44,10 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    from squeezedet_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from squeezedet_tpu.core.anchors import generate_anchors
     from squeezedet_tpu.core.boxes import xywh_to_xyxy
     from squeezedet_tpu.core.matching import encode_annotations

@@ -18,6 +18,10 @@ from squeezedet_tpu.utils.misc import init_env
 def run() -> None:
     cfg = parse()
     init_env(cfg)
+
+    from squeezedet_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     print("results dir:", cfg.save_dir)
 
     if cfg.mode == "train":

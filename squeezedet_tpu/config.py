@@ -65,6 +65,12 @@ class Config:
     # system / TPU
     num_workers: int = 4  # host-side loader threads
     seed: int = 42
+    # reference-CLI compatibility (accepted, not meaningful on TPU):
+    # device selection is the mesh; SPMD shards the batch evenly, so uneven
+    # master chunks don't exist; there is no cudnn autotuner.
+    gpus: str = "0"
+    master_batch_size: int = -1
+    not_cuda_benchmark: bool = False
     mixed_precision: bool = False  # bf16 compute in the backbone
     data_parallel: int = 0  # 0 = all visible devices
     prefetch: int = 2  # device prefetch depth
@@ -167,5 +173,10 @@ def build_parser() -> argparse.ArgumentParser:
 def parse(argv: list[str] | None = None) -> Config:
     args = build_parser().parse_args(argv)
     cfg = Config(**vars(args))
+    if cfg.master_batch_size != -1:
+        print(
+            "[config] --master_batch_size is a no-op: SPMD shards the batch "
+            "evenly across the mesh (see --data_parallel)"
+        )
     cfg.finalize_dirs()
     return cfg

@@ -174,6 +174,33 @@ def test_dontcare_absorbs_fp(tmp_path):
     assert aps["Car_easy"] == pytest.approx(1.0)
 
 
+def test_aos_orientation_scoring(tmp_path):
+    """Detections with wrong orientation keep AP=1 but drag AOS below 1;
+    perfect orientations give AOS=1 at every populated sample."""
+    import math
+
+    frames_good = _perfect_frames(50)
+    gt_dir, image_set, results, n = _write_scene(tmp_path / "good", frames_good)
+    evaluate_python(gt_dir, image_set, results, n)
+    ori = np.loadtxt(
+        os.path.join(results, "stats_car_orientation.txt")
+    )
+    det = np.loadtxt(os.path.join(results, "stats_car_detection.txt"))
+    # where precision is populated, orientation similarity equals it
+    np.testing.assert_allclose(ori[:, ::4], det, atol=1e-6)
+
+    # flip every detection's alpha by pi -> similarity (1+cos(pi))/2 = 0
+    frames_bad = _perfect_frames(50)
+    for gt_rows, det_rows in frames_bad:
+        det_rows[0] = det_rows[0].replace(" 0.00 ", f" {math.pi:.2f} ", 1)
+    gt_dir, image_set, results2, n = _write_scene(tmp_path / "bad", frames_bad)
+    evaluate_python(gt_dir, image_set, results2, n)
+    aps = parse_aps(results2)
+    assert aps["Car_easy"] == pytest.approx(1.0)  # AP unaffected
+    ori2 = np.loadtxt(os.path.join(results2, "stats_car_orientation.txt"))
+    assert ori2.max() < 0.01  # orientation similarity collapses
+
+
 @pytest.mark.skipif(native_binary() is None, reason="native evaluator not built")
 @pytest.mark.parametrize("seed", [0, 1, 2])
 def test_native_matches_python(tmp_path, seed):
