@@ -79,6 +79,11 @@ class Config:
     use_pallas: bool = False  # Pallas kernels for hot ops (else lax path)
     serve_uint8: bool = False  # ship raw uint8 batches; whitening folded
     #   into the stem conv on device (4x less H2D traffic)
+    cache_images: bool = True  # keep decoded images in RAM (uint8) so each
+    #   epoch after the first skips PNG decode (KITTI ~5GB; host has 125GB)
+    fast_pipeline: bool = False  # train-time host pipeline stays uint8
+    #   (aug + resize on raw bytes, whitening fused on device); trades
+    #   sub-LSB quantization noise for ~3x less host work and 4x less H2D
 
     # derived (filled by parse/update_dataset_info)
     root_dir: str = ""

@@ -50,11 +50,13 @@ def whiten(image, image_meta, mean=0.0, std=1.0):
     return image, image_meta
 
 
-def drift(image, image_meta, prob=0.0, boxes=None, rng=np.random):
+def drift(image, image_meta, prob=0.0, boxes=None, rng=np.random, pad_value=0.0):
     """Random translation augmentation.
 
     Shifts content by (dy, dx) with dy in [-H/4, min(H/4, min_box_y)) and dx
-    in [-W/8, min(W/8, min_box_x)); the exposed region is zero-padded and the
+    in [-W/8, min(W/8, min_box_x)); the exposed region is filled with
+    ``pad_value`` (zero in whitened space; the raw-uint8 fast pipeline
+    passes the dataset RGB mean, which whitens to ~zero on device) and the
     canvas grows/shrinks to (H-dy, W-dx). Boxes shift with the content.
     Produces a *variable-size* image — must precede the fixed-size resize.
     Parity: reference src/utils/image.py:22-50.
@@ -75,9 +77,18 @@ def drift(image, image_meta, prob=0.0, boxes=None, rng=np.random):
         src_y, src_x = max(dy, 0), max(dx, 0)
         dst_y, dst_x = max(-dy, 0), max(-dx, 0)
 
-        drifted = np.zeros((new_h, new_w, 3), dtype=np.float32)
-        drifted[dst_y:, dst_x:, :] = image[src_y:, src_x:, :]
-        image = drifted
+        if dst_y == 0 and dst_x == 0:
+            # pure crop: a view, no copy or fill
+            image = image[src_y:, src_x:, :]
+        else:
+            drifted = np.empty((new_h, new_w, 3), dtype=image.dtype)
+            drifted[dst_y:, dst_x:, :] = image[src_y:, src_x:, :]
+            # fill only the exposed strips, not the whole canvas
+            if dst_y:
+                drifted[:dst_y, :, :] = pad_value
+            if dst_x:
+                drifted[dst_y:, :dst_x, :] = pad_value
+            image = drifted
         drifted_size = np.array(image.shape, dtype=np.int32)
 
         if boxes is not None:
@@ -96,7 +107,10 @@ def flip(image, image_meta, prob=0.0, boxes=None, rng=np.random):
     flipped = False
     if rng.uniform() < prob:
         flipped = True
-        image = image[:, ::-1, :].copy()
+        if _HAS_CV2 and image.flags.c_contiguous:
+            image = cv2.flip(image, 1)  # SIMD horizontal flip
+        else:
+            image = image[:, ::-1, :].copy()
 
     if flipped and boxes is not None:
         image_width = image.shape[1]
@@ -127,7 +141,7 @@ def resize(image, image_meta, target_size, boxes=None):
     return image, image_meta, boxes
 
 
-def crop_or_pad(image, image_meta, target_size, boxes=None):
+def crop_or_pad(image, image_meta, target_size, boxes=None, pad_value=0.0):
     """Center pad-then-crop to ``target_size`` (the ``--forbid_resize`` path).
 
     Parity: reference src/utils/image.py:91-123. padding/crops are
@@ -153,19 +167,31 @@ def crop_or_pad(image, image_meta, target_size, boxes=None):
         crops[2] = (width - target_width) // 2
         crops[3] = (width - target_width) - crops[2]
 
-    image, boxes = pad(image, padding, boxes=boxes)
+    image, boxes = pad(image, padding, boxes=boxes, pad_value=pad_value)
     image, boxes = crop(image, crops, boxes=boxes)
 
     image_meta.update({"padding": padding, "crops": crops})
     return image, image_meta, boxes
 
 
-def pad(image, padding, boxes=None):
-    """Zero-pad by (top, bottom, left, right); shifts boxes accordingly."""
+def pad(image, padding, boxes=None, pad_value=0.0):
+    """Pad by (top, bottom, left, right) with ``pad_value``; shifts boxes."""
     padding = np.asarray(padding)
     if not np.all(padding == 0):
-        pad_spec = ((padding[0], padding[1]), (padding[2], padding[3]), (0, 0))
-        image = np.pad(image, pad_spec, mode="constant")
+        out = np.empty(
+            (
+                image.shape[0] + padding[0] + padding[1],
+                image.shape[1] + padding[2] + padding[3],
+                image.shape[2],
+            ),
+            dtype=image.dtype,
+        )
+        out[...] = pad_value
+        out[
+            padding[0] : padding[0] + image.shape[0],
+            padding[2] : padding[2] + image.shape[1],
+        ] = image
+        image = out
         if boxes is not None:
             boxes[:, [0, 2]] += padding[2]
             boxes[:, [1, 3]] += padding[0]

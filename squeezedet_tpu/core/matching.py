@@ -42,25 +42,40 @@ def match_anchors(
     anchor_indices = np.empty(boxes_xyxy.shape[0], dtype=np.int32)
     deltas = np.empty((boxes_xyxy.shape[0], 4), dtype=np.float32)
 
+    def best_free(keys: np.ndarray, stop_nonpositive: bool) -> int:
+        """First un-taken index in ascending `keys` order (keys are
+        -overlap or distance). Scans an argpartition'd top-K first and only
+        falls back to the full argsort when every candidate was taken —
+        O(A) instead of O(A log A) per box in the common case."""
+        top_k = 32
+        if keys.shape[0] > 2 * top_k:
+            cand = np.argpartition(keys, top_k)[:top_k]
+            cand = cand[np.argsort(keys[cand])]
+        else:
+            cand = np.argsort(keys)
+        for c in cand:
+            if stop_nonpositive and keys[c] >= 0:  # overlap <= 0
+                return num_anchors
+            if c not in taken:
+                return int(c)
+        if len(cand) == keys.shape[0]:
+            return num_anchors
+        for c in np.argsort(keys):  # rare: >top_k collisions
+            if stop_nonpositive and keys[c] >= 0:
+                return num_anchors
+            if c not in taken:
+                return int(c)
+        return num_anchors
+
     for i in range(boxes_xyxy.shape[0]):
         overlaps = compute_overlaps_one(anchors_xyxy, boxes_xyxy[i])
-
-        chosen = num_anchors
-        for cand in np.argsort(-overlaps):
-            if overlaps[cand] <= 0:
-                break
-            if cand not in taken:
-                chosen = cand
-                break
+        chosen = best_free(-overlaps, stop_nonpositive=True)
 
         if chosen == num_anchors:
             # No free overlapping anchor: nearest free anchor by squared
             # distance in (cx, cy, w, h) space.
             dist = np.sum((boxes_xywh[i] - anchors_xywh) ** 2, axis=1)
-            for cand in np.argsort(dist):
-                if cand not in taken:
-                    chosen = cand
-                    break
+            chosen = best_free(dist, stop_nonpositive=False)
 
         taken.add(chosen)
         anchor_indices[i] = chosen

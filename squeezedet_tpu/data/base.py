@@ -54,6 +54,12 @@ class BaseDataset:
     def load_image(self, index: int):
         raise NotImplementedError
 
+    def load_image_uint8(self, index: int):
+        """Raw-bytes variant for the uint8 fast pipeline; datasets with a
+        decoded cache can serve it without the float conversion."""
+        image, image_id = self.load_image(index)
+        return np.clip(image, 0, 255).astype(np.uint8), image_id
+
     def load_annotations(self, index: int):
         raise NotImplementedError
 
@@ -87,18 +93,29 @@ class BaseDataset:
 
         if whiten_input:
             image, image_meta = whiten(image, image_meta, self.rgb_mean, self.rgb_std)
-        image, image_meta, boxes = drift(image, image_meta, drift_prob, boxes)
+            pad_value = 0.0
+        else:
+            # raw space: pad with the dataset mean, which whitens to ~zero
+            # on device (matching the reference's post-whiten zero padding)
+            pad_value = np.round(np.ravel(self.rgb_mean))
+        image, image_meta, boxes = drift(
+            image, image_meta, drift_prob, boxes, pad_value=pad_value
+        )
         image, image_meta, boxes = flip(image, image_meta, flip_prob, boxes)
         if self.cfg.forbid_resize:
             image, image_meta, boxes = crop_or_pad(
-                image, image_meta, self.input_size, boxes
+                image, image_meta, self.input_size, boxes, pad_value=pad_value
             )
         else:
             image, image_meta, boxes = resize(image, image_meta, self.input_size, boxes)
         return image, image_meta, boxes
 
     def __getitem__(self, index: int) -> dict[str, Any]:
-        image, image_id = self.load_image(index)
+        fast = bool(getattr(self.cfg, "fast_pipeline", False))
+        if fast:
+            image, image_id = self.load_image_uint8(index)
+        else:
+            image, image_id = self.load_image(index)
         gt_class_ids, gt_boxes = self.load_annotations(index)
 
         image_meta = {
@@ -106,7 +123,9 @@ class BaseDataset:
             "image_id": image_id,
             "orig_size": np.array(image.shape, dtype=np.int32),
         }
-        image, image_meta, gt_boxes = self.preprocess(image, image_meta, gt_boxes)
+        image, image_meta, gt_boxes = self.preprocess(
+            image, image_meta, gt_boxes, whiten_input=not fast
+        )
 
         if gt_boxes is not None and len(gt_boxes):
             # cropping (forbid_resize) clamps boxes at the canvas edge and
@@ -130,7 +149,9 @@ class BaseDataset:
             )
 
         return {
-            "image": np.ascontiguousarray(image, dtype=np.float32),
+            "image": np.ascontiguousarray(
+                image, dtype=np.uint8 if fast else np.float32
+            ),
             "image_meta": image_meta,
             "gt": gt,
         }

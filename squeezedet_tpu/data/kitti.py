@@ -54,6 +54,12 @@ class KITTI(BaseDataset):
         self.num_anchors = self.anchors.shape[0]
 
         self.results_dir = os.path.join(cfg.save_dir, "results")
+        # decoded-image RAM cache (uint8): with a single-digit-GB dataset
+        # and a slow host core, skipping repeat PNG decode is the
+        # difference between host-bound and device-bound epochs
+        self._image_cache: dict[int, np.ndarray] | None = (
+            {} if getattr(cfg, "cache_images", False) else None
+        )
 
     def get_sample_ids(self):
         set_names = {"train": "train.txt", "val": "val.txt", "trainval": "trainval.txt"}
@@ -65,9 +71,24 @@ class KITTI(BaseDataset):
         return sample_ids, sample_set_path
 
     def load_image(self, index: int):
+        image, image_id = self._load_cached(index)
+        return image.astype(np.float32), image_id
+
+    def load_image_uint8(self, index: int):
+        return self._load_cached(index)
+
+    def _load_cached(self, index: int):
+        """Decoded uint8 image, served from the RAM cache when enabled."""
         image_id = self.sample_ids[index]
+        if self._image_cache is not None:
+            cached = self._image_cache.get(index)
+            if cached is not None:
+                return cached, image_id
         path = os.path.join(self.data_dir, "training/image_2", image_id + ".png")
-        return read_image(path), image_id
+        image = read_image(path).astype(np.uint8)
+        if self._image_cache is not None:
+            self._image_cache[index] = image
+        return image, image_id
 
     def load_annotations(self, index: int):
         ann_id = self.sample_ids[index]

@@ -52,6 +52,17 @@ class Trainer:
         self.state = replicate(self.mesh, init_train_state(params, task))
         self.anchors = replicate(self.mesh, jnp.asarray(cfg.anchors))
         self.rng = replicate(self.mesh, jax.random.PRNGKey(cfg.seed))
+        self.rgb_stats = None
+        if getattr(cfg, "fast_pipeline", False):
+            self.rgb_stats = replicate(
+                self.mesh,
+                jnp.stack(
+                    [
+                        jnp.asarray(np.ravel(cfg.rgb_mean), jnp.float32),
+                        jnp.asarray(np.ravel(cfg.rgb_std), jnp.float32),
+                    ]
+                ),
+            )
         self.train_step = make_train_step(task)
         self.val_step = make_val_step(task)
         self.metrics = list(METRICS)
@@ -95,11 +106,12 @@ class Trainer:
             if phase == "train":
                 self.state, stats = self.train_step(
                     self.state, batch["image"], batch["gt"], self.anchors, lr,
-                    self.rng,
+                    self.rng, self.rgb_stats,
                 )
             else:
                 stats = self.val_step(
-                    self.state.params, batch["image"], batch["gt"], self.anchors
+                    self.state.params, batch["image"], batch["gt"],
+                    self.anchors, self.rgb_stats,
                 )
 
             pending.append((stats, iter_id, batch["image"].shape[0], data_ms))

@@ -71,7 +71,20 @@ def stepLR(base_lr: float, epoch: int, step_size: int = 60, gamma: float = 0.5) 
     return base_lr * (gamma ** ((epoch - 1) // step_size))
 
 
-def _loss_for_batch(params, images, gt, anchors, task, dropout_rng, training):
+def _whiten_on_device(images, rgb_stats):
+    """uint8 fast-pipeline batches are whitened here (fused by XLA into the
+    first conv's input read); float batches arrive pre-whitened."""
+    if images.dtype == jnp.uint8:
+        if rgb_stats is None:
+            raise ValueError("uint8 batches require rgb_stats (fast_pipeline)")
+        return (images.astype(jnp.float32) - rgb_stats[0]) / rgb_stats[1]
+    return images
+
+
+def _loss_for_batch(
+    params, images, gt, anchors, task, dropout_rng, training, rgb_stats=None
+):
+    images = _whiten_on_device(images, rgb_stats)
     pred = forward(
         params, images, task.model, training=training, dropout_rng=dropout_rng
     )
@@ -86,12 +99,12 @@ def make_train_step(task: TaskSpec):
     tx = make_optimizer(task)
 
     @partial(jax.jit, donate_argnums=(0,))
-    def train_step(state: TrainState, images, gt, anchors, lr, rng):
+    def train_step(state: TrainState, images, gt, anchors, lr, rng, rgb_stats=None):
         dropout_rng = jax.random.fold_in(rng, state.step)
 
         (loss, stats), grads = jax.value_and_grad(
             lambda p: _loss_for_batch(
-                p, images, gt, anchors, task, dropout_rng, True
+                p, images, gt, anchors, task, dropout_rng, True, rgb_stats
             ),
             has_aux=True,
         )(state.params)
@@ -107,8 +120,10 @@ def make_train_step(task: TaskSpec):
 
 def make_val_step(task: TaskSpec):
     @jax.jit
-    def val_step(params, images, gt, anchors):
-        _, stats = _loss_for_batch(params, images, gt, anchors, task, None, False)
+    def val_step(params, images, gt, anchors, rgb_stats=None):
+        _, stats = _loss_for_batch(
+            params, images, gt, anchors, task, None, False, rgb_stats
+        )
         return stats
 
     return val_step
