@@ -157,10 +157,16 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("mode", help="train | eval | demo | bench")
     for f in dataclasses.fields(Config):
         if f.name == "mode" or f.name in (
-            "root_dir", "data_dir", "exp_dir", "save_dir", "debug_dir",
+            "root_dir", "exp_dir", "save_dir", "debug_dir",
             "input_size", "rgb_mean", "rgb_std", "class_names", "num_classes",
             "anchors", "anchors_per_grid", "num_anchors",
         ):
+            continue
+        if f.name == "data_dir":
+            parser.add_argument(
+                "--data_dir", type=str, default="",
+                help="dataset root (default: <repo>/data)",
+            )
             continue
         name = f"--{f.name}"
         help_text = _FLAG_HELP.get(f.name, "")
