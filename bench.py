@@ -89,16 +89,32 @@ def main() -> None:
     for i in range(WARMUP):
         drain(predict(params, device_batches[i % 4], anchors))
 
-    window: collections.deque = collections.deque()
-    t0 = time.perf_counter()
-    for i in range(ITERS):
-        window.append(predict(params, device_batches[i % 4], anchors))
-        if len(window) > IN_FLIGHT:
+    def throughput(batches, p):
+        window: collections.deque = collections.deque()
+        t0 = time.perf_counter()
+        for i in range(ITERS):
+            window.append(predict(p, batches[i % 4], anchors))
+            if len(window) > IN_FLIGHT:
+                drain(window.popleft())
+        while window:
             drain(window.popleft())
-    while window:
-        drain(window.popleft())
-    elapsed = time.perf_counter() - t0
-    fps = ITERS * BATCH / elapsed
+        return ITERS * BATCH / (time.perf_counter() - t0)
+
+    fps = throughput(device_batches, params)
+
+    # uint8 serving path: whitening folded into the stem conv, raw bytes in
+    from squeezedet_tpu.data.kitti import KITTI_RGB_MEAN, KITTI_RGB_STD
+    from squeezedet_tpu.models.squeezedet import fold_whitening
+
+    folded = fold_whitening(params, KITTI_RGB_MEAN, KITTI_RGB_STD)
+    u8_batches = [
+        jax.device_put(
+            np.clip(b * 40 + 128, 0, 255).astype(np.uint8)
+        )
+        for b in host_batches
+    ]
+    drain(predict(folded, u8_batches[0], anchors))  # compile
+    fps_u8 = throughput(u8_batches, folded)
 
     # train step timing
     gt = np.stack(
@@ -138,6 +154,7 @@ def main() -> None:
                 "vs_baseline": round(fps / BASELINE_FPS, 2),
                 "compute_dtype": "bf16" if use_bf16 else "fp32",
                 "use_pallas": use_pallas,
+                "uint8_serving_img_per_s": round(fps_u8, 1),
                 "train_s_per_step_b20": round(train_s_per_step, 4),
                 "train_s_per_epoch_3740imgs": round(epoch_s, 1),
                 "train_vs_baseline_epoch": round(BASELINE_EPOCH_S / epoch_s, 2),

@@ -19,7 +19,7 @@ import numpy as np
 
 from squeezedet_tpu.core.boxes import boxes_postprocess, visualize_boxes
 from squeezedet_tpu.core.image import image_postprocess
-from squeezedet_tpu.data.loader import DataLoader, prefetch_to_device
+from squeezedet_tpu.data.loader import DataLoader
 from squeezedet_tpu.parallel.train import TaskSpec, make_predict_step
 from squeezedet_tpu.utils.misc import MetricLogger
 

@@ -25,9 +25,9 @@ anchor index (h*W + w)*K + k lines up with
 
 from __future__ import annotations
 
-import math
-from dataclasses import dataclass, field
-from functools import partial
+
+from dataclasses import dataclass
+
 from typing import Any
 
 import jax

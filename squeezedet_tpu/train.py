@@ -20,7 +20,7 @@ from squeezedet_tpu.engine.trainer import Trainer
 from squeezedet_tpu.eval import eval_dataset
 from squeezedet_tpu.models.loss import LossWeights
 from squeezedet_tpu.models.squeezedet import ModelSpec, init_params
-from squeezedet_tpu.parallel.train import TaskSpec, TrainState
+from squeezedet_tpu.parallel.train import TaskSpec
 from squeezedet_tpu.utils.checkpoint import (
     load_any,
     load_train_state,
@@ -120,14 +120,16 @@ def _train_epochs(
         train_stats = trainer.train_epoch(epoch, train_loader)
         logger.update(train_stats, phase="train", epoch=epoch)
 
-        save_train_state(
-            os.path.join(cfg.save_dir, "state_last"), trainer.state, epoch
-        )
-        save_path = os.path.join(cfg.save_dir, "model_last")
-        save_params(save_path, trainer.params, epoch)
-        if epoch % cfg.save_intervals == 0:
-            save_path = os.path.join(cfg.save_dir, f"model_{epoch}")
-            save_params(save_path, trainer.params, epoch)
+        save_params(os.path.join(cfg.save_dir, "model_last"), trainer.params, epoch)
+        if epoch % cfg.save_intervals == 0 or epoch == cfg.num_epochs:
+            # resumable full train state (params + optimizer) on the
+            # interval cadence; params-only every epoch as the reference
+            save_train_state(
+                os.path.join(cfg.save_dir, "state_last"), trainer.state, epoch
+            )
+            save_params(
+                os.path.join(cfg.save_dir, f"model_{epoch}"), trainer.params, epoch
+            )
 
         if cfg.val_intervals > 0 and epoch % cfg.val_intervals == 0:
             val_stats = trainer.val_epoch(epoch, val_loader)
