@@ -35,6 +35,7 @@ class Config:
     # model
     arch: str = "squeezedet"  # squeezedet | squeezedetplus
     dropout_prob: float = 0.5
+    init_scheme: str = "reference"  # reference | he (from-scratch training)
 
     # train
     lr: float = 0.01

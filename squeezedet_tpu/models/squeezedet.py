@@ -91,6 +91,10 @@ class ModelSpec:
     dropout_prob: float = 0.5
     compute_dtype: Any = jnp.float32
     use_pallas: bool = False  # fused Fire kernels (TPU only)
+    init_scheme: str = "reference"  # 'reference' (gaussian .005/.002, for
+    #   fine-tuning parity) | 'he' (fan-in scaled, for from-scratch training
+    #   — the reference init leaves a 12-layer net nearly dead at random
+    #   init; the reference always starts from ImageNet weights)
 
     @property
     def head_channels(self) -> int:
@@ -128,21 +132,27 @@ def torch_feature_indices(arch: str) -> dict[str, int]:
 
 def _conv_init(key, kh, kw, cin, cout, std):
     wkey, _ = jax.random.split(key)
+    if std is None:  # He/fan-in scaling for ReLU stacks
+        std = float(np.sqrt(2.0 / (kh * kw * cin)))
     w = jax.random.normal(wkey, (kh, kw, cin, cout), dtype=jnp.float32) * std
     b = jnp.zeros((cout,), dtype=jnp.float32)
     return {"w": w, "b": b}
 
 
 def init_params(rng: jax.Array, spec: ModelSpec) -> Params:
-    """Gaussian init: std 0.002 for the ConvDet head, 0.005 elsewhere, zero
-    biases (reference src/model/squeezedet.py:89-97)."""
+    """'reference' init: gaussian std 0.002 for the ConvDet head, 0.005
+    elsewhere, zero biases (reference src/model/squeezedet.py:89-97 —
+    intended for ImageNet fine-tuning). 'he' init: fan-in scaled backbone
+    for from-scratch training; the head keeps the small reference std so
+    early score/class outputs stay near neutral."""
     arch = ARCH_SPECS[spec.arch]
     stem = arch["stem"]
     keys = iter(jax.random.split(rng, 64))
+    body_std = 0.005 if spec.init_scheme == "reference" else None
 
     params: Params = {
         "stem": _conv_init(
-            next(keys), stem["kernel"], stem["kernel"], 3, stem["out"], 0.005
+            next(keys), stem["kernel"], stem["kernel"], 3, stem["out"], body_std
         )
     }
     fire_i = 0
@@ -151,9 +161,9 @@ def init_params(rng: jax.Array, spec: ModelSpec) -> Params:
             continue
         _, cin, sq, e1, e3 = item
         params[f"fire{fire_i}"] = {
-            "squeeze": _conv_init(next(keys), 1, 1, cin, sq, 0.005),
-            "expand1": _conv_init(next(keys), 1, 1, sq, e1, 0.005),
-            "expand3": _conv_init(next(keys), 3, 3, sq, e3, 0.005),
+            "squeeze": _conv_init(next(keys), 1, 1, cin, sq, body_std),
+            "expand1": _conv_init(next(keys), 1, 1, sq, e1, body_std),
+            "expand3": _conv_init(next(keys), 3, 3, sq, e3, body_std),
         }
         fire_i += 1
     params["convdet"] = _conv_init(
