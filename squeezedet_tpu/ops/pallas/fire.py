@@ -137,13 +137,13 @@ def _fire_pallas_raw(x, wsq, bsq, we1, be1, we3, be3, *, interpret=False):
 
     # Mosaic alignment: tiled dims (W, C) of HBM-sliced buffers must be
     # multiples of (8, 128); the row dim is sliced freely.
-    w2p = _round_up(w + 2, 8)
     cp = _round_up(c, 128)
     wp = _round_up(w, 8)
+    # the shifted windows [dx, dx+wp) must stay inside the padded buffer,
+    # and the buffer width itself must stay 8-aligned for HBM slicing
+    w2p = _round_up(max(w + 2, wp + 2), 8)
     if not interpret:
         assert (e1_ch + e3_ch) % 128 == 0, "expand channels must tile to 128"
-    # the shifted windows [dx, dx+wp) must stay inside the padded buffer
-    w2p = max(w2p, wp + 2)
 
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, w2p - w - 1), (0, cp - c)))
 
