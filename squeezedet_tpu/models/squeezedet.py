@@ -212,9 +212,12 @@ def _fire(x, p, dtype, use_pallas=False):
     Parity: reference src/model/squeezedet.py:9-23. The concat order
     (expand1x1 first) determines channel layout and must match checkpoints.
     With ``use_pallas`` the whole module runs as one fused Pallas kernel
-    (squeeze activation stays in VMEM; see ops/pallas/fire.py).
+    (squeeze activation stays in VMEM; see ops/pallas/fire.py) — but only
+    at large spatial sizes, where it measures faster than XLA's convs
+    (96x312 fires: 4.4 vs 5.0 ms; at 24x78 the per-tile DMA overhead loses,
+    3.0 vs 1.8 ms — measured on v5e, see EVIDENCE.md).
     """
-    if use_pallas:
+    if use_pallas and x.shape[1] * x.shape[2] >= 96 * 312:
         from squeezedet_tpu.ops.pallas.fire import fire_fused
 
         return fire_fused(
