@@ -175,6 +175,12 @@ void CleanFrame(int cls, int difficulty, const std::vector<GtObject>& gt,
     if (IEquals(g.type, "DontCare")) dontcare->push_back(g.box);
   }
 
+  // Note: only 0 / -1 are ever emitted for detections. The official KITTI
+  // devkit additionally flags detections below MIN_HEIGHT as ignored (1);
+  // the reference bundles a modified devkit that intentionally dropped that
+  // rule (reference evaluate_object.cpp:327-342 emits only 0/-1 too), and we
+  // match it for bit-identical stats. MatchFrame keeps the det_flags==1
+  // branches so the full devkit protocol is one CleanFrame change away.
   for (const auto& d : det)
     det_flags->push_back(IEquals(d.type, kClassNames[cls]) ? 0 : -1);
 }

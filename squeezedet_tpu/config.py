@@ -62,6 +62,9 @@ class Config:
     nms_thresh: float = 0.4
     score_thresh: float = 0.3
     keep_top_k: int = 64
+    allow_random_weights: bool = False  # let `eval` run without --load_model
+    #   (otherwise it refuses: scoring fresh random weights yields a
+    #   plausible-looking mAP~0 run that hides the typo)
 
     # system / TPU
     num_workers: int = 4  # host-side loader threads
@@ -153,6 +156,28 @@ _FLAG_HELP = {
 }
 
 
+class _BoolFlag(argparse.Action):
+    """Boolean flag with an explicit off switch: --x sets True, --no-x and
+    --no_x set False (plain store_true made default-True flags like
+    --cache_images impossible to disable from the CLI). Negatives are
+    matched exactly, so the reference's literal --no_eval flag still means
+    'set no_eval=True'."""
+
+    def __init__(self, option_strings, dest, default=None, help=None, **kw):
+        opts, self._negatives = [], set()
+        for s in option_strings:
+            negatives = ["--no-" + s[2:], "--no_" + s[2:]]
+            opts += [s] + negatives
+            self._negatives.update(negatives)
+        super().__init__(opts, dest, nargs=0, default=default, help=help)
+
+    def __call__(self, parser, namespace, values, option_string=None):
+        setattr(namespace, self.dest, option_string not in self._negatives)
+
+    def format_usage(self):
+        return self.option_strings[0]
+
+
 def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(description="SqueezeDet-TPU")
     parser.add_argument("mode", help="train | eval | demo | bench")
@@ -173,7 +198,7 @@ def build_parser() -> argparse.ArgumentParser:
         help_text = _FLAG_HELP.get(f.name, "")
         if f.type == "bool" or isinstance(f.default, bool):
             parser.add_argument(
-                name, action="store_true", default=f.default, help=help_text
+                name, action=_BoolFlag, default=f.default, help=help_text
             )
         else:
             parser.add_argument(

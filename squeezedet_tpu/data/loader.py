@@ -121,23 +121,45 @@ def prefetch_to_device(
         return
 
     q: queue.Queue = queue.Queue(maxsize=size)
+    stop = threading.Event()
     _END = object()
+
+    def _put(item) -> bool:
+        """Blocking put that aborts when the consumer has gone away, so an
+        early exit (e.g. --num_iters truncating an epoch) can't leave this
+        thread parked forever on a full queue pinning sharded device
+        batches in HBM."""
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def producer():
         try:
             for batch in iterator:
-                q.put(to_device(batch))
+                if stop.is_set() or not _put(to_device(batch)):
+                    return
         except BaseException as e:  # propagate loader errors to consumer
-            q.put(e)
+            _put(e)
             return
-        q.put(_END)
+        _put(_END)
 
-    thread = threading.Thread(target=producer, daemon=True)
+    thread = threading.Thread(
+        target=producer, daemon=True, name="sqdt-prefetch"
+    )
     thread.start()
-    while True:
-        item = q.get()
-        if item is _END:
-            return
-        if isinstance(item, BaseException):
-            raise item
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _END:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        # runs on normal exhaustion, consumer break (generator .close() /
+        # GC), or an exception in the consumer
+        stop.set()

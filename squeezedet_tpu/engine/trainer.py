@@ -9,6 +9,8 @@ exposes (src/engine/trainer.py:18-73).
 
 from __future__ import annotations
 
+import collections
+import itertools
 import time
 from typing import Any
 
@@ -87,42 +89,50 @@ class Trainer:
         data_ms = net_ms = 0.0
         end = time.time()
 
+        # bound the raw iterator *before* prefetching so the producer thread
+        # never pulls (or pins in HBM) batches past a --num_iters truncation
+        raw = iter(loader)
         batches = prefetch_to_device(
-            iter(loader), size=self.cfg.prefetch, to_device=self._shard
+            itertools.islice(raw, num_iters),
+            size=self.cfg.prefetch,
+            to_device=self._shard,
         )
         # stats from the last few steps stay un-synced on device, so the
         # next dispatch overlaps both device compute and the D2H readback
-        import collections
-
         pending: collections.deque = collections.deque()
         window = max(2, self.cfg.prefetch)
 
-        for iter_id, batch in enumerate(batches):
-            if iter_id >= num_iters:
-                break
-            data_ms = 1000.0 * (time.time() - end)
-            end = time.time()
+        try:
+            for iter_id, batch in enumerate(batches):
+                data_ms = 1000.0 * (time.time() - end)
+                end = time.time()
 
-            if phase == "train":
-                self.state, stats = self.train_step(
-                    self.state, batch["image"], batch["gt"], self.anchors, lr,
-                    self.rng, self.rgb_stats,
-                )
-            else:
-                stats = self.val_step(
-                    self.state.params, batch["image"], batch["gt"],
-                    self.anchors, self.rgb_stats,
-                )
+                if phase == "train":
+                    self.state, stats = self.train_step(
+                        self.state, batch["image"], batch["gt"], self.anchors,
+                        lr, self.rng, self.rgb_stats,
+                    )
+                else:
+                    stats = self.val_step(
+                        self.state.params, batch["image"], batch["gt"],
+                        self.anchors, self.rgb_stats,
+                    )
 
-            pending.append((stats, iter_id, batch["image"].shape[0], data_ms))
-            if len(pending) > window:
+                pending.append((stats, iter_id, batch["image"].shape[0], data_ms))
+                if len(pending) > window:
+                    count += self._consume(
+                        pending.popleft(), sums, phase, epoch, num_iters
+                    )
+
+                net_ms = 1000.0 * (time.time() - end)
+                end = time.time()
+
+            while pending:
                 count += self._consume(pending.popleft(), sums, phase, epoch, num_iters)
-
-            net_ms = 1000.0 * (time.time() - end)
-            end = time.time()
-
-        while pending:
-            count += self._consume(pending.popleft(), sums, phase, epoch, num_iters)
+        finally:
+            batches.close()  # stops the prefetch producer thread
+            if hasattr(raw, "close"):
+                raw.close()  # shuts the loader's worker pool down
 
         stats_out = {m: sums[m] / max(count, 1) for m in self.metrics}
         stats_out["epoch_time"] = (time.time() - start_time) / 60.0

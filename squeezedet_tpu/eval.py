@@ -25,6 +25,14 @@ def eval_dataset(dataset, params, cfg, task=None):
 def evaluate(cfg) -> dict[str, float]:
     from squeezedet_tpu.train import build_task
 
+    if not cfg.load_model and not getattr(cfg, "allow_random_weights", False):
+        raise SystemExit(
+            "eval: no --load_model given — this would score freshly "
+            "initialized random weights and report a plausible-looking "
+            "mAP~0. Pass --load_model <ckpt> or --allow_random_weights "
+            "to proceed anyway."
+        )
+
     dataset = load_dataset(cfg.dataset)("val", cfg)
     cfg.update_dataset_info(dataset)
     print(cfg.describe())

@@ -77,12 +77,21 @@ def train(cfg) -> None:
 
     trainer = Trainer(params, task, cfg)
 
+    metrics = trainer.metrics if cfg.no_eval else trainer.metrics + ["mAP"]
+    best = 1e9 if cfg.no_eval else 0.0
+    better_than = operator.lt if cfg.no_eval else operator.gt
+
     start_epoch = 1
     if cfg.resume:
-        state, epoch = load_train_state(cfg.resume, trainer.state)
+        state, epoch, saved_best = load_train_state(cfg.resume, trainer.state)
         trainer.state = state
         start_epoch = epoch + 1
-        logger.write(f"resumed from {cfg.resume} at epoch {epoch}")
+        if saved_best is not None:
+            best = saved_best  # don't let the first post-resume val epoch
+            # overwrite model_best with a worse model
+        logger.write(
+            f"resumed from {cfg.resume} at epoch {epoch} (best={best})"
+        )
 
     train_loader = DataLoader(
         train_dataset,
@@ -99,10 +108,6 @@ def train(cfg) -> None:
         batch_size=cfg.batch_size,
         num_workers=cfg.num_workers,
     )
-
-    metrics = trainer.metrics if cfg.no_eval else trainer.metrics + ["mAP"]
-    best = 1e9 if cfg.no_eval else 0.0
-    better_than = operator.lt if cfg.no_eval else operator.gt
 
     from squeezedet_tpu.utils.profiling import maybe_trace
 
@@ -123,11 +128,6 @@ def _train_epochs(
 
         save_params(os.path.join(cfg.save_dir, "model_last"), trainer.params, epoch)
         if epoch % cfg.save_intervals == 0 or epoch == cfg.num_epochs:
-            # resumable full train state (params + optimizer) on the
-            # interval cadence; params-only every epoch as the reference
-            save_train_state(
-                os.path.join(cfg.save_dir, "state_last"), trainer.state, epoch
-            )
             save_params(
                 os.path.join(cfg.save_dir, f"model_{epoch}"), trainer.params, epoch
             )
@@ -147,6 +147,15 @@ def _train_epochs(
                 save_params(
                     os.path.join(cfg.save_dir, "model_best"), trainer.params, epoch
                 )
+
+        if epoch % cfg.save_intervals == 0 or epoch == cfg.num_epochs:
+            # resumable full train state (params + optimizer + best metric)
+            # on the interval cadence, saved after the val block so the
+            # persisted best is current when --resume restores it
+            save_train_state(
+                os.path.join(cfg.save_dir, "state_last"), trainer.state, epoch,
+                best=best,
+            )
 
         logger.plot(metrics)
         logger.print_bests(metrics)

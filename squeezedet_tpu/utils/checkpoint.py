@@ -38,8 +38,9 @@ def _checkpointer():
     return ocp.PyTreeCheckpointer()
 
 
-def save_train_state(path: str, state, epoch: int) -> None:
-    """Save the full train state (params + optimizer + step + epoch)."""
+def save_train_state(path: str, state, epoch: int, best: float | None = None) -> None:
+    """Save the full train state (params + optimizer + step + epoch), plus
+    the running best-metric value so --resume never demotes model_best."""
     path = os.path.abspath(path)
     payload = {
         "params": jax.device_get(state.params),
@@ -47,12 +48,15 @@ def save_train_state(path: str, state, epoch: int) -> None:
         "step": int(state.step),
         "epoch": int(epoch),
     }
+    if best is not None:
+        payload["best"] = float(best)
     _checkpointer().save(path, payload, force=True)
 
 
 def load_train_state(path: str, template_state):
     """Restore into the structure of ``template_state``; returns
-    (TrainState, epoch)."""
+    (TrainState, epoch, best) — best is None for checkpoints saved
+    without it."""
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(path)
@@ -62,15 +66,24 @@ def load_train_state(path: str, template_state):
         "step": 0,
         "epoch": 0,
     }
-    restored = _checkpointer().restore(
-        path, args=ocp.args.PyTreeRestore(item=template)
-    )
+    # probe for the optional 'best' leaf: restore with it in the template
+    # first, fall back to the legacy layout without it
+    try:
+        restored = _checkpointer().restore(
+            path, args=ocp.args.PyTreeRestore(item={**template, "best": 0.0})
+        )
+        best = float(restored["best"])
+    except (KeyError, ValueError):
+        restored = _checkpointer().restore(
+            path, args=ocp.args.PyTreeRestore(item=template)
+        )
+        best = None
     state = type(template_state)(
         params=restored["params"],
         opt_state=restored["opt_state"],
         step=np.int32(restored["step"]),
     )
-    return state, int(restored["epoch"])
+    return state, int(restored["epoch"]), best
 
 
 def save_params(path: str, params: Params, epoch: int = 0) -> None:
@@ -128,18 +141,20 @@ def _normalize_torch_keys(state_dict: dict[str, Any]) -> dict[str, Any]:
     return out
 
 
-def load_pth_params(
-    model_path: str,
-    init: Params,
-    spec: ModelSpec,
-    verbose: bool = True,
-) -> tuple[Params, int]:
-    """Convert a reference/torchvision .pth into our params pytree.
+def _read_pth_state_dict(model_path: str) -> tuple[dict[str, np.ndarray], int]:
+    """Load + normalize a .pth into a numpy state dict, caching the result
+    next to the source as ``<file>_converted.npz`` so repeat loads skip
+    torch entirely (the analog of the reference's ``*_converted.pth`` cache,
+    src/utils/model.py:55-61)."""
+    cache = model_path + "_converted.npz"
+    if (
+        os.path.exists(cache)
+        and os.path.getmtime(cache) >= os.path.getmtime(model_path)
+    ):
+        with np.load(cache) as z:
+            epoch = int(z["__epoch__"])
+            return {k: z[k] for k in z.files if k != "__epoch__"}, epoch
 
-    Returns (params, epoch). Tensors that are absent or shape-mismatched
-    keep their values from ``init`` (tolerant-load semantics of the
-    reference, src/utils/model.py:19-38).
-    """
     import torch
 
     blob = torch.load(model_path, map_location="cpu", weights_only=True)
@@ -153,6 +168,28 @@ def load_pth_params(
     state_dict = _normalize_torch_keys(
         {k: np.asarray(v) for k, v in state_dict.items()}
     )
+    try:  # best-effort cache; a read-only checkpoint dir is fine
+        tmp = cache + ".tmp.npz"  # .npz suffix keeps np.savez from renaming
+        np.savez(tmp, __epoch__=np.int64(epoch), **state_dict)
+        os.replace(tmp, cache)
+    except OSError:
+        pass
+    return state_dict, epoch
+
+
+def load_pth_params(
+    model_path: str,
+    init: Params,
+    spec: ModelSpec,
+    verbose: bool = True,
+) -> tuple[Params, int]:
+    """Convert a reference/torchvision .pth into our params pytree.
+
+    Returns (params, epoch). Tensors that are absent or shape-mismatched
+    keep their values from ``init`` (tolerant-load semantics of the
+    reference, src/utils/model.py:19-38).
+    """
+    state_dict, epoch = _read_pth_state_dict(model_path)
     key_map = _torch_key_map(spec)
 
     params = jax.tree.map(np.asarray, init)

@@ -105,6 +105,33 @@ def test_official_torchvision_format(tmp_path):
     )
 
 
+def test_pth_converted_cache(tmp_path, monkeypatch):
+    """First .pth load writes a *_converted.npz cache; the second load must
+    come from the cache without touching torch (reference caches
+    *_converted.pth the same way, src/utils/model.py:55-61)."""
+    src = init_params(jax.random.PRNGKey(0), SPEC)
+    sd = _torch_state_dict(src, SPEC)
+    path = str(tmp_path / "model.pth")
+    torch.save({"epoch": 7, "state_dict": sd}, path)
+
+    first, epoch = load_pth_params(
+        path, init_params(jax.random.PRNGKey(1), SPEC), SPEC, verbose=False
+    )
+    assert epoch == 7
+    assert os.path.exists(path + "_converted.npz")
+
+    def boom(*a, **k):
+        raise AssertionError("torch.load called despite converted cache")
+
+    monkeypatch.setattr(torch, "load", boom)
+    second, epoch2 = load_pth_params(
+        path, init_params(jax.random.PRNGKey(2), SPEC), SPEC, verbose=False
+    )
+    assert epoch2 == 7
+    for a, b in zip(jax.tree.leaves(first), jax.tree.leaves(second)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_pth_shape_mismatch_keeps_init(tmp_path):
     src = init_params(jax.random.PRNGKey(0), SPEC)
     sd = _torch_state_dict(src, SPEC)
@@ -141,14 +168,21 @@ def test_orbax_train_state_roundtrip(tmp_path):
     state = state._replace(step=jnp.asarray(17, jnp.int32))
 
     path = str(tmp_path / "ckpt" / "state_last")
-    save_train_state(path, state, epoch=12)
+    save_train_state(path, state, epoch=12, best=0.73)
 
     template = init_train_state(init_params(jax.random.PRNGKey(8), SPEC), task)
-    restored, epoch = load_train_state(path, template)
+    restored, epoch, best = load_train_state(path, template)
     assert epoch == 12
+    assert best == 0.73
     assert int(restored.step) == 17
     for a, b in zip(jax.tree.leaves(restored.params), jax.tree.leaves(state.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # legacy checkpoints without the best leaf still restore (best=None)
+    path2 = str(tmp_path / "ckpt" / "state_legacy")
+    save_train_state(path2, state, epoch=3)
+    _, epoch2, best2 = load_train_state(path2, template)
+    assert epoch2 == 3 and best2 is None
 
 
 def test_load_any_dispatch(tmp_path):

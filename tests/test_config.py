@@ -41,6 +41,19 @@ def test_flag_overrides():
     assert cfg.nms_thresh == 0.5
 
 
+def test_bool_flags_can_be_disabled():
+    # default-True flags must have a working off switch (argparse
+    # BooleanOptionalAction); plain store_true silently ignored --no_*
+    cfg = parse(["train", "--no_cache_images", "--no_native_loader"])
+    assert cfg.cache_images is False
+    assert cfg.native_loader is False
+    # explicit on and defaults still work
+    cfg = parse(["train", "--cache_images"])
+    assert cfg.cache_images is True
+    cfg = parse(["train"])
+    assert cfg.cache_images is True and cfg.native_loader is True
+
+
 def test_reference_compat_flags_accepted():
     cfg = parse(["train", "--gpus", "0,1", "--master_batch_size", "4",
                  "--not_cuda_benchmark"])

@@ -65,6 +65,28 @@ def test_loader_inference_mode():
     assert len(b["image_metas"]) == 2
 
 
+def test_prefetch_early_exit_stops_producer():
+    """Breaking out of a prefetched epoch (e.g. --num_iters) must terminate
+    the producer thread instead of leaving it parked on a full queue
+    pinning device batches."""
+    import threading
+    import time
+
+    gen = prefetch_to_device(
+        iter(DataLoader(ToyDataset(64), 1)), size=1, to_device=lambda b: b
+    )
+    next(gen)  # producer is now running and blocked on the full queue
+    assert any(t.name == "sqdt-prefetch" for t in threading.enumerate())
+    gen.close()
+
+    deadline = time.time() + 5.0
+    while time.time() < deadline:
+        if not any(t.name == "sqdt-prefetch" for t in threading.enumerate()):
+            break
+        time.sleep(0.05)
+    assert not any(t.name == "sqdt-prefetch" for t in threading.enumerate())
+
+
 def test_prefetch_to_device_passthrough_and_transform():
     dl = DataLoader(ToyDataset(6), batch_size=2)
     seen = list(prefetch_to_device(iter(dl), size=2, to_device=lambda b: b))

@@ -37,3 +37,13 @@ def test_nan_guard_raises(tmp_path):
     with pytest.raises(FloatingPointError, match="non-finite loss"):
         for epoch in range(1, 4):
             trainer.train_epoch(epoch, loader)
+
+
+def test_eval_refuses_random_weights():
+    """eval with no --load_model must refuse loudly instead of scoring
+    fresh random weights as a plausible-looking mAP~0 run."""
+    from squeezedet_tpu.eval import evaluate
+
+    cfg = Config(mode="eval", load_model="")
+    with pytest.raises(SystemExit, match="load_model"):
+        evaluate(cfg)
