@@ -25,6 +25,7 @@ from squeezedet_tpu.parallel.train import (
     TrainState,
     init_train_state,
     make_train_step,
+    make_train_step_multi,
     make_val_step,
     stepLR,
 )
@@ -66,6 +67,10 @@ class Trainer:
                 ),
             )
         self.train_step = make_train_step(task)
+        self.k_dispatch = max(1, int(getattr(cfg, "steps_per_dispatch", 1)))
+        self.train_step_multi = (
+            make_train_step_multi(task) if self.k_dispatch > 1 else None
+        )
         self.val_step = make_val_step(task)
         self.metrics = list(METRICS)
 
@@ -102,23 +107,57 @@ class Trainer:
         pending: collections.deque = collections.deque()
         window = max(2, self.cfg.prefetch)
 
+        # train steps are fused k-at-a-time into one dispatch (lax.scan) so
+        # the tunnel round-trip is paid once per k optimizer steps
+        k = self.k_dispatch if phase == "train" else 1
+        chunk: list = []
+        chunk_data_ms = 0.0
+
+        def dispatch(chunk, first_iter, data_ms):
+            if len(chunk) == 1 or self.train_step_multi is None:
+                for j, b in enumerate(chunk):
+                    self.state, stats = self.train_step(
+                        self.state, b["image"], b["gt"], self.anchors,
+                        lr, self.rng, self.rgb_stats,
+                    )
+                    pending.append(
+                        (stats, first_iter + j, b["image"].shape[0], data_ms, 1)
+                    )
+                    data_ms = 0.0
+            else:
+                imgs = tuple(b["image"] for b in chunk)
+                gts = tuple(b["gt"] for b in chunk)
+                self.state, stats = self.train_step_multi(
+                    self.state, imgs, gts, self.anchors, lr, self.rng,
+                    self.rgb_stats,
+                )
+                pending.append(
+                    (stats, first_iter, chunk[0]["image"].shape[0], data_ms,
+                     len(chunk))
+                )
+
+        seen = 0
         try:
             for iter_id, batch in enumerate(batches):
+                seen = iter_id + 1
                 data_ms = 1000.0 * (time.time() - end)
                 end = time.time()
 
                 if phase == "train":
-                    self.state, stats = self.train_step(
-                        self.state, batch["image"], batch["gt"], self.anchors,
-                        lr, self.rng, self.rgb_stats,
-                    )
+                    chunk.append(batch)
+                    chunk_data_ms += data_ms
+                    if len(chunk) == k:
+                        dispatch(chunk, iter_id - k + 1, chunk_data_ms)
+                        chunk, chunk_data_ms = [], 0.0
                 else:
                     stats = self.val_step(
                         self.state.params, batch["image"], batch["gt"],
                         self.anchors, self.rgb_stats,
                     )
+                    pending.append(
+                        (stats, iter_id, batch["image"].shape[0], data_ms, 1)
+                    )
 
-                pending.append((stats, iter_id, batch["image"].shape[0], data_ms))
                 if len(pending) > window:
                     count += self._consume(
                         pending.popleft(), sums, phase, epoch, num_iters
@@ -126,6 +165,11 @@ class Trainer:
 
                 net_ms = 1000.0 * (time.time() - end)
                 end = time.time()
+
+            if chunk:  # remainder smaller than k: single-step dispatches
+                first = seen - len(chunk)
+                for j, b in enumerate(chunk):
+                    dispatch([b], first + j, chunk_data_ms if j == 0 else 0.0)
 
             while pending:
                 count += self._consume(pending.popleft(), sums, phase, epoch, num_iters)
@@ -139,23 +183,30 @@ class Trainer:
         return stats_out
 
     def _consume(self, pending, sums, phase, epoch, num_iters):
-        stats, iter_id, n, data_ms = pending
-        host = {m: float(stats[m]) for m in self.metrics}
-        if not np.isfinite(host["loss"]):
-            # failure detection: a non-finite loss poisons momentum and every
-            # later step — fail loudly with context instead of training on
-            raise FloatingPointError(
-                f"non-finite loss at epoch {epoch} iter {iter_id} "
-                f"({phase}): {host}"
-            )
-        for m in self.metrics:
-            sums[m] += host[m] * n
-        if iter_id % self.cfg.print_interval == 0:
-            msg = f"epoch {epoch:<3d} {phase:<5s} [{iter_id}/{num_iters}] "
-            msg += " ".join(f"| {m} {host[m]:.3f}" for m in self.metrics)
-            msg += f" | data {data_ms:.1f}ms"
-            print(msg)
-        return n
+        stats, first_iter, n, data_ms, k = pending
+        # one D2H sync per dispatch: scalar stats for single steps, (k,)
+        # vectors when k optimizer steps were fused into one dispatch
+        host = {m: np.atleast_1d(np.asarray(stats[m])) for m in self.metrics}
+        total = 0
+        for j in range(k):
+            vals = {m: float(host[m][j]) for m in self.metrics}
+            iter_id = first_iter + j
+            if not np.isfinite(vals["loss"]):
+                # failure detection: a non-finite loss poisons momentum and
+                # every later step — fail loudly instead of training on
+                raise FloatingPointError(
+                    f"non-finite loss at epoch {epoch} iter {iter_id} "
+                    f"({phase}): {vals}"
+                )
+            for m in self.metrics:
+                sums[m] += vals[m] * n
+            total += n
+            if iter_id % self.cfg.print_interval == 0:
+                msg = f"epoch {epoch:<3d} {phase:<5s} [{iter_id}/{num_iters}] "
+                msg += " ".join(f"| {m} {vals[m]:.3f}" for m in self.metrics)
+                msg += f" | data {data_ms:.1f}ms"
+                print(msg)
+        return total
 
     def train_epoch(self, epoch: int, loader: DataLoader) -> dict[str, float]:
         return self.run_epoch("train", epoch, loader)

@@ -185,14 +185,19 @@ def _conv(x, p, stride=1, pad=0, dtype=jnp.float32):
     return out + p["b"].astype(dtype)
 
 
-def _maxpool_ceil(x, window=3, stride=2):
-    """3x3/s2 max pool with torch ceil_mode=True semantics: pad right/bottom
-    just enough that the last partial window is kept."""
-    h, w = x.shape[1], x.shape[2]
+def _pool_geometry(h, w, window=3, stride=2):
+    """ceil_mode output extent + right/bottom padding (torch semantics:
+    pad just enough that the last partial window is kept)."""
     out_h = -(-(h - window) // stride) + 1
     out_w = -(-(w - window) // stride) + 1
     pad_h = max(0, (out_h - 1) * stride + window - h)
     pad_w = max(0, (out_w - 1) * stride + window - w)
+    return out_h, out_w, pad_h, pad_w
+
+
+def _maxpool_ceil_primal(x, window=3, stride=2):
+    h, w = x.shape[1], x.shape[2]
+    _, _, pad_h, pad_w = _pool_geometry(h, w, window, stride)
     neg_inf = (
         -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
     )
@@ -204,6 +209,20 @@ def _maxpool_ceil(x, window=3, stride=2):
         window_strides=(1, stride, stride, 1),
         padding=((0, 0), (0, pad_h), (0, pad_w), (0, 0)),
     )
+
+
+def _maxpool_ceil(x):
+    """3x3/s2 ceil-mode max pool. The gradient stays on XLA's
+    select-and-scatter — measured on v5e (KITTI shapes, batch 20, bf16)
+    it is the FASTEST available backward at 7.6/2.9/1.8 ms standalone for
+    the three pools. Alternatives we built and measured (round 2, see
+    EVIDENCE.md): XLA shift-mask reformulations +37..+100 ms/step (every
+    shifted plane is an HBM round-trip), separable 1-D pools ~equal
+    (8.8/3.1/1.6 ms), and a fused Pallas mask kernel 33/14.8/14.4 ms
+    (Mosaic cannot lower any sublane element-repeat, forcing 4 upsampled
+    aux inputs = 6x HBM traffic). Retired per measurement; the gradient
+    parity tests vs torch remain (tests/test_model.py)."""
+    return _maxpool_ceil_primal(x)
 
 
 def _fire(x, p, dtype, use_pallas=False):

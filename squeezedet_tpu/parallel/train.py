@@ -22,6 +22,7 @@ from typing import Any, NamedTuple
 import jax
 import jax.numpy as jnp
 import optax
+from jax import lax
 
 from squeezedet_tpu.models.head import resolve
 from squeezedet_tpu.models.loss import LossWeights, detection_loss
@@ -95,27 +96,59 @@ def _loss_for_batch(
     return loss.mean(), {k: v.mean() for k, v in stats.items()}
 
 
+def _sgd_step(state: TrainState, images, gt, anchors, lr, rng, task, tx, rgb_stats):
+    """One optimizer step: fwd + loss + bwd + clip + SGD update."""
+    dropout_rng = jax.random.fold_in(rng, state.step)
+
+    (loss, stats), grads = jax.value_and_grad(
+        lambda p: _loss_for_batch(
+            p, images, gt, anchors, task, dropout_rng, True, rgb_stats
+        ),
+        has_aux=True,
+    )(state.params)
+
+    updates, opt_state = tx.update(grads, state.opt_state, state.params)
+    updates = jax.tree.map(lambda u: -lr * u, updates)
+    params = optax.apply_updates(state.params, updates)
+    return TrainState(params, opt_state, state.step + 1), stats
+
+
 def make_train_step(task: TaskSpec):
     tx = make_optimizer(task)
 
     @partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, images, gt, anchors, lr, rng, rgb_stats=None):
-        dropout_rng = jax.random.fold_in(rng, state.step)
-
-        (loss, stats), grads = jax.value_and_grad(
-            lambda p: _loss_for_batch(
-                p, images, gt, anchors, task, dropout_rng, True, rgb_stats
-            ),
-            has_aux=True,
-        )(state.params)
-
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        updates = jax.tree.map(lambda u: -lr * u, updates)
-        params = optax.apply_updates(state.params, updates)
-        new_state = TrainState(params, opt_state, state.step + 1)
-        return new_state, stats
+        return _sgd_step(state, images, gt, anchors, lr, rng, task, tx, rgb_stats)
 
     return train_step
+
+
+def make_train_step_multi(task: TaskSpec):
+    """k sequential optimizer steps in ONE dispatch (`lax.scan` over k
+    pre-staged batches). Numerically identical to k single dispatches —
+    the per-step dropout key still folds in state.step — but the host
+    round-trip cost (≈28 ms through the axon tunnel) is paid once per k
+    steps instead of per step. The k batches arrive as separate sharded
+    arrays and are stacked on device.
+
+    Returns (state, stats) with each stats value shaped (k,)."""
+    tx = make_optimizer(task)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def train_step_multi(state: TrainState, images_list, gt_list, anchors, lr,
+                         rng, rgb_stats=None):
+        images_k = jnp.stack(images_list)
+        gt_k = jnp.stack(gt_list)
+
+        def body(state, xs):
+            images, gt = xs
+            return _sgd_step(
+                state, images, gt, anchors, lr, rng, task, tx, rgb_stats
+            )
+
+        return lax.scan(body, state, (images_k, gt_k))
+
+    return train_step_multi
 
 
 def make_val_step(task: TaskSpec):
@@ -129,21 +162,43 @@ def make_val_step(task: TaskSpec):
     return val_step
 
 
+def _predict_batch(params, images, anchors, task: TaskSpec):
+    pred = forward(params, images, task.model, training=False)
+    return postprocess(
+        pred,
+        anchors,
+        input_size=task.input_size,
+        num_classes=task.model.num_classes,
+        top_k=task.top_k,
+        nms_thresh=task.nms_thresh,
+        score_thresh=task.score_thresh,
+    )
+
+
 def make_predict_step(task: TaskSpec):
     """Forward + full on-device post-processing: returns fixed-shape
     detections {boxes, scores, class_ids, keep}."""
 
     @jax.jit
     def predict_step(params, images, anchors):
-        pred = forward(params, images, task.model, training=False)
-        return postprocess(
-            pred,
-            anchors,
-            input_size=task.input_size,
-            num_classes=task.model.num_classes,
-            top_k=task.top_k,
-            nms_thresh=task.nms_thresh,
-            score_thresh=task.score_thresh,
-        )
+        return _predict_batch(params, images, anchors, task)
 
     return predict_step
+
+
+def make_predict_step_multi(task: TaskSpec):
+    """k batches through forward + postprocess in ONE dispatch (lax.scan);
+    amortizes the tunnel round-trip for serving throughput. Returns the
+    detection dict with every value stacked to (k, B, ...)."""
+
+    @jax.jit
+    def predict_step_multi(params, images_list, anchors):
+        images_k = jnp.stack(images_list)
+
+        def body(carry, images):
+            return carry, _predict_batch(params, images, anchors, task)
+
+        _, outs = lax.scan(body, None, images_k)
+        return outs
+
+    return predict_step_multi

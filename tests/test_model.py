@@ -47,6 +47,33 @@ def test_maxpool_ceil_matches_torch(h, w):
     np.testing.assert_allclose(got, want, atol=1e-6)
 
 
+@pytest.mark.parametrize("h,w", [(96, 96), (95, 130), (192, 100), (24, 78)])
+def test_maxpool_ceil_gradient_matches_torch(h, w):
+    """The mask-based custom VJP must reproduce the standard maxpool
+    gradient (torch reference) on tie-free inputs."""
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=(2, h, w, 4)).astype(np.float32)
+
+    def loss(z):
+        # non-uniform cotangent to exercise every window offset
+        y = _maxpool_ceil(z)
+        wgt = jnp.arange(y.size, dtype=jnp.float32).reshape(y.shape)
+        return jnp.sum(y * wgt)
+
+    got = np.asarray(jax.grad(loss)(jnp.asarray(x)))
+
+    xt = torch.from_numpy(x).permute(0, 3, 1, 2).requires_grad_(True)
+    yt = F.max_pool2d(xt, 3, stride=2, ceil_mode=True)
+    wgt = (
+        torch.arange(yt.numel(), dtype=torch.float32)
+        .reshape(yt.permute(0, 2, 3, 1).shape)
+        .permute(0, 3, 1, 2)
+    )
+    (yt * wgt).sum().backward()
+    want = xt.grad.permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
 @pytest.mark.parametrize("arch", ["squeezedet", "squeezedetplus"])
 def test_forward_matches_torch_oracle(arch):
     spec = ModelSpec(arch=arch, num_classes=3, anchors_per_grid=9)

@@ -16,6 +16,7 @@ from squeezedet_tpu.parallel.train import (
     TaskSpec,
     init_train_state,
     make_train_step,
+    make_train_step_multi,
     make_val_step,
     stepLR,
 )
@@ -65,6 +66,62 @@ def test_train_step_runs_and_descends():
     assert all(np.isfinite(losses))
     assert losses[-1] < losses[0]
     assert int(state.step) == 4
+
+
+def test_multi_step_dispatch_matches_single_steps():
+    """k fused steps (one lax.scan dispatch) must be numerically identical
+    to k single-step dispatches — same dropout keys, same SGD math."""
+    task = _task(dropout=0.5)
+    params = init_params(jax.random.PRNGKey(0), task.model)
+    anchors = jnp.asarray(ANCHORS)
+    rng = jax.random.PRNGKey(1)
+    batches = [_batch(2, seed=s) for s in range(4)]
+
+    step = make_train_step(task)
+    state_a = init_train_state(jax.tree.map(jnp.copy, params), task)
+    losses_a = []
+    for images, gt in batches:
+        state_a, stats = step(
+            state_a, jnp.asarray(images), jnp.asarray(gt), anchors, 0.01, rng
+        )
+        losses_a.append(float(stats["loss"]))
+
+    multi = make_train_step_multi(task)
+    state_b = init_train_state(jax.tree.map(jnp.copy, params), task)
+    imgs = tuple(jnp.asarray(b[0]) for b in batches)
+    gts = tuple(jnp.asarray(b[1]) for b in batches)
+    state_b, stats_k = multi(state_b, imgs, gts, anchors, 0.01, rng)
+
+    np.testing.assert_allclose(
+        np.asarray(stats_k["loss"]), np.asarray(losses_a), rtol=1e-5
+    )
+    assert int(state_b.step) == int(state_a.step) == 4
+    for a, b in zip(jax.tree.leaves(state_a.params), jax.tree.leaves(state_b.params)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+        )
+
+
+def test_multi_step_dispatch_sharded_runs():
+    """The fused-k dispatch must compile and run under the 8-device mesh."""
+    assert len(jax.devices()) >= 8
+    task = _task()
+    mesh = make_mesh(8)
+    state = replicate(mesh, init_train_state(init_params(jax.random.PRNGKey(0), task.model), task))
+    anchors = replicate(mesh, jnp.asarray(ANCHORS))
+    multi = make_train_step_multi(task)
+    sharded = [
+        shard_batch_arrays(mesh, dict(zip(("image", "gt"), _batch(8, seed=s))))
+        for s in range(2)
+    ]
+    state, stats_k = multi(
+        state,
+        tuple(b["image"] for b in sharded),
+        tuple(b["gt"] for b in sharded),
+        anchors, 0.01, jax.random.PRNGKey(1),
+    )
+    assert np.all(np.isfinite(np.asarray(stats_k["loss"])))
+    assert int(state.step) == 2
 
 
 def test_val_step_no_dropout_deterministic():

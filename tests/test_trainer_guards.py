@@ -39,6 +39,48 @@ def test_nan_guard_raises(tmp_path):
             trainer.train_epoch(epoch, loader)
 
 
+def _trainer_cfg(tmp_path, **overrides):
+    kwargs = dict(
+        mode="train", batch_size=2, num_workers=2,
+        num_epochs=1, drift_prob=0.0, flip_prob=0.0, dropout_prob=0.0,
+    )
+    kwargs.update(overrides)
+    cfg = Config(**kwargs)
+    cfg.finalize_dirs(root_dir=str(tmp_path))
+    cfg.data_dir = str(tmp_path / "data")
+    cfg.save_dir = str(tmp_path / "exp")
+    cfg.debug_dir = str(tmp_path / "exp" / "debug")
+    return cfg
+
+
+def test_trainer_multi_dispatch_equals_single(tmp_path):
+    """An epoch driven with steps_per_dispatch=3 (2 fused dispatches + 1
+    single-step remainder over 7 batches) must produce the same params and
+    averaged stats as plain per-step dispatch."""
+    _make_kitti_tree(str(tmp_path / "data"), n_images=14)
+
+    results = {}
+    for k in (1, 3):
+        cfg = _trainer_cfg(tmp_path, steps_per_dispatch=k)
+        ds = TinyKITTI("train", cfg)
+        cfg.update_dataset_info(ds)
+        from squeezedet_tpu.train import build_task
+
+        task = build_task(cfg)
+        trainer = Trainer(
+            init_params(jax.random.PRNGKey(0), task.model), task, cfg
+        )
+        loader = DataLoader(ds, batch_size=2, num_workers=2, drop_last=True, seed=1)
+        stats = trainer.train_epoch(1, loader)
+        results[k] = (stats, jax.device_get(trainer.params))
+
+    s1, p1 = results[1]
+    s3, p3 = results[3]
+    assert abs(s1["loss"] - s3["loss"]) < 1e-5
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p3)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+
+
 def test_eval_refuses_random_weights():
     """eval with no --load_model must refuse loudly instead of scoring
     fresh random weights as a plausible-looking mAP~0 run."""
