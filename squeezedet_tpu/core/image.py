@@ -66,8 +66,11 @@ def drift(image, image_meta, prob=0.0, boxes=None, rng=np.random, pad_value=0.0)
     if rng.uniform() < prob:
         max_drift_y = image_meta["orig_size"][0] // 4
         max_drift_x = image_meta["orig_size"][1] // 8
-        max_boxes_y = min(boxes[:, 1]) if boxes is not None else max_drift_y
-        max_boxes_x = min(boxes[:, 0]) if boxes is not None else max_drift_x
+        # images with no labeled objects (e.g. only DontCare rows — real
+        # KITTI has them) drift freely; the reference crashes here
+        has_boxes = boxes is not None and len(boxes) > 0
+        max_boxes_y = min(boxes[:, 1]) if has_boxes else max_drift_y
+        max_boxes_x = min(boxes[:, 0]) if has_boxes else max_drift_x
         dy = rng.randint(-max_drift_y, min(max_drift_y, max_boxes_y))
         dx = rng.randint(-max_drift_x, min(max_drift_x, max_boxes_x))
         drifts = np.array([dy, dx], dtype=np.int32)

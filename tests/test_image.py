@@ -72,6 +72,20 @@ def test_drift_positive_shift():
     np.testing.assert_allclose(restored, boxes)
 
 
+def test_drift_empty_boxes():
+    """Images with no labeled objects (only-DontCare frames exist in real
+    KITTI) must drift freely instead of crashing (the reference crashes)."""
+    img = _image()
+    meta = {"orig_size": np.array(img.shape, dtype=np.int32)}
+    boxes = np.zeros((0, 4), dtype=np.float32)
+    out, meta, dboxes = I.drift(
+        img.copy(), meta, prob=1.0, boxes=boxes,
+        rng=FixedRng([0.0], [4, 6]),
+    )
+    assert out.shape == (48 - 4, 64 - 6, 3)
+    assert dboxes.shape == (0, 4)
+
+
 def test_drift_negative_shift_pads():
     img = _image()
     meta = {"orig_size": np.array(img.shape, dtype=np.int32)}
