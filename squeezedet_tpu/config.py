@@ -89,6 +89,11 @@ class Config:
     #   into the stem conv on device (4x less H2D traffic)
     cache_images: bool = True  # keep decoded images in RAM (uint8) so each
     #   epoch after the first skips PNG decode (KITTI ~5GB; host has 125GB)
+    device_data: bool = False  # stage the whole dataset in HBM and run one
+    #   jitted dispatch per epoch (gather + augment + GT-encode + step all
+    #   on device; parallel/epoch.py). Needs the uint8 dataset to fit in
+    #   device memory (KITTI: ~6.3 GB train+val on a 16 GB v5e). Immune to
+    #   host speed and tunnel RTT/bandwidth pathologies.
     fast_pipeline: bool = False  # train-time host pipeline stays uint8
     #   (aug + resize on raw bytes, whitening fused on device); trades
     #   sub-LSB quantization noise for ~3x less host work and 4x less H2D

@@ -1,10 +1,12 @@
 """Ground-truth -> anchor assignment (host side).
 
 The assignment is *sequential greedy with a uniqueness set* and therefore
-order-dependent; it runs per-sample on the host workers (it is O(num_boxes *
-A log A) on 16,848 anchors — cheap next to image decode) and must replicate
-the reference semantics exactly for training parity
-(reference src/utils/boxes.py:84-135):
+order-dependent; it runs per-sample on the host workers (O(num_boxes * A)
+on 16,848 anchors — cheap next to image decode) and replicates the
+reference semantics (reference src/utils/boxes.py:84-135) up to exact-IoU
+tie order, which the reference leaves to unstable quicksort; we break ties
+by lowest anchor index so the device twin (ops/encode.py) matches
+assignment-for-assignment:
 
 1. For each GT box in file order, pick the free anchor with the largest IoU.
 2. If every positive-IoU anchor is taken (or no anchor overlaps), fall back to
@@ -38,46 +40,29 @@ def match_anchors(
     boxes_xywh = xyxy_to_xywh(boxes_xyxy)
     anchors_xyxy = xywh_to_xyxy(anchors_xywh)
 
-    taken: set[int] = set()
+    taken = np.zeros(num_anchors, dtype=bool)
     anchor_indices = np.empty(boxes_xyxy.shape[0], dtype=np.int32)
     deltas = np.empty((boxes_xyxy.shape[0], 4), dtype=np.float32)
 
-    def best_free(keys: np.ndarray, stop_nonpositive: bool) -> int:
-        """First un-taken index in ascending `keys` order (keys are
-        -overlap or distance). Scans an argpartition'd top-K first and only
-        falls back to the full argsort when every candidate was taken —
-        O(A) instead of O(A log A) per box in the common case."""
-        top_k = 32
-        if keys.shape[0] > 2 * top_k:
-            cand = np.argpartition(keys, top_k)[:top_k]
-            cand = cand[np.argsort(keys[cand])]
-        else:
-            cand = np.argsort(keys)
-        for c in cand:
-            if stop_nonpositive and keys[c] >= 0:  # overlap <= 0
-                return num_anchors
-            if c not in taken:
-                return int(c)
-        if len(cand) == keys.shape[0]:
-            return num_anchors
-        for c in np.argsort(keys):  # rare: >top_k collisions
-            if stop_nonpositive and keys[c] >= 0:
-                return num_anchors
-            if c not in taken:
-                return int(c)
-        return num_anchors
-
     for i in range(boxes_xyxy.shape[0]):
+        # Exact IoU ties are COMMON on a regular anchor grid (a box fully
+        # covering several same-shape anchors along one axis overlaps each
+        # identically); the reference breaks them by unstable-quicksort
+        # order (src/utils/boxes.py argsort), i.e. arbitrarily. We break
+        # ties deterministically by lowest anchor index — np.argmax picks
+        # the first maximum, exactly like jnp.argmax in the device twin
+        # (ops/encode.py), so host and device assignments are identical.
         overlaps = compute_overlaps_one(anchors_xyxy, boxes_xyxy[i])
-        chosen = best_free(-overlaps, stop_nonpositive=True)
-
-        if chosen == num_anchors:
+        overlaps[taken] = -np.inf
+        chosen = int(np.argmax(overlaps))
+        if overlaps[chosen] <= 0:
             # No free overlapping anchor: nearest free anchor by squared
             # distance in (cx, cy, w, h) space.
             dist = np.sum((boxes_xywh[i] - anchors_xywh) ** 2, axis=1)
-            chosen = best_free(dist, stop_nonpositive=False)
+            dist[taken] = np.inf
+            chosen = int(np.argmin(dist))
 
-        taken.add(chosen)
+        taken[chosen] = True
         anchor_indices[i] = chosen
         a = anchors_xywh[chosen]
         g = boxes_xywh[i]

@@ -1,0 +1,125 @@
+"""Device-resident dataset staging: decode once, keep everything in HBM.
+
+The axon TPU tunnel makes per-batch H2D the dominant training cost (and is
+intermittently bandwidth-degraded once executes are in flight — see
+CLAUDE.md). This module sidesteps the host<->device data path entirely:
+decoded uint8 images plus padded GT arrays are uploaded to the device(s)
+ONCE, before the first execute, and every epoch then runs fully on-device
+(gather -> warp/augment -> GT-encode -> step; parallel/epoch.py).
+
+Host-side the decoded arrays are cached as .npy next to the dataset so a
+restart skips the (minutes-long on this 1-core host) PNG decode sweep.
+
+Replaces the reference's per-worker torch DataLoader pipeline
+(src/train.py:40-50) for datasets that fit in HBM — KITTI train is ~4.9 GB
+as uint8 at 375x1242, comfortably inside a single v5e's 16 GB.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+MAX_OBJECTS = 16
+
+
+class StagedArrays:
+    """Host numpy staging of one dataset phase (train or val)."""
+
+    def __init__(self, images, boxes, class_ids, counts, sizes, sample_ids):
+        self.images = images        # (N, Hs, Ws, 3) uint8
+        self.boxes = boxes          # (N, M, 4) float32 xyxy, pre-clipped
+        self.class_ids = class_ids  # (N, M) int32
+        self.counts = counts        # (N,) int32
+        self.sizes = sizes          # (N, 2) int32 valid (H, W)
+        self.sample_ids = sample_ids
+
+    def __len__(self):
+        return self.images.shape[0]
+
+
+def _cache_dir(dataset) -> str:
+    return os.path.join(dataset.data_dir, "cache", dataset.phase)
+
+
+def _build(dataset, max_objects: int) -> StagedArrays:
+    n = len(dataset)
+    sizes = np.zeros((n, 2), dtype=np.int32)
+    raw_images = []
+    boxes = np.zeros((n, max_objects, 4), dtype=np.float32)
+    class_ids = np.zeros((n, max_objects), dtype=np.int32)
+    counts = np.zeros((n,), dtype=np.int32)
+
+    for i in range(n):
+        img, _ = dataset.load_image_uint8(i)
+        raw_images.append(img)
+        sizes[i] = img.shape[:2]
+        cls, bxs = dataset.load_annotations(i)
+        if len(bxs):
+            # same clip the host pipeline applies before augmentation
+            # (data/base.py preprocess), then drop degenerate boxes
+            bxs = bxs.copy()
+            bxs[:, [0, 2]] = np.clip(bxs[:, [0, 2]], 0.0, img.shape[1] - 1.0)
+            bxs[:, [1, 3]] = np.clip(bxs[:, [1, 3]], 0.0, img.shape[0] - 1.0)
+            keep = (bxs[:, 0] < bxs[:, 2]) & (bxs[:, 1] < bxs[:, 3])
+            bxs, cls = bxs[keep], np.asarray(cls)[keep]
+            if len(bxs) > max_objects:
+                raise ValueError(
+                    f"sample {dataset.sample_ids[i]} has {len(bxs)} objects "
+                    f"> max_objects={max_objects}"
+                )
+            m = len(bxs)
+            boxes[i, :m] = bxs
+            class_ids[i, :m] = cls
+            counts[i] = m
+
+    hs, ws = sizes.max(axis=0)
+    images = np.zeros((n, hs, ws, 3), dtype=np.uint8)
+    for i, img in enumerate(raw_images):
+        images[i, : img.shape[0], : img.shape[1]] = img
+    return StagedArrays(
+        images, boxes, class_ids, counts, sizes, list(dataset.sample_ids)
+    )
+
+
+def stage_dataset(
+    dataset, max_objects: int = MAX_OBJECTS, use_cache: bool = True
+) -> StagedArrays:
+    """Build (or load from the .npy cache) the staged arrays for a dataset."""
+    cdir = _cache_dir(dataset)
+    meta_path = os.path.join(cdir, "meta.json")
+    if use_cache and os.path.exists(meta_path):
+        with open(meta_path) as fp:
+            meta = json.load(fp)
+        if (
+            meta.get("sample_ids") == list(dataset.sample_ids)
+            and meta.get("max_objects") == max_objects
+        ):
+            return StagedArrays(
+                np.load(os.path.join(cdir, "images.npy"), mmap_mode="r"),
+                np.load(os.path.join(cdir, "boxes.npy")),
+                np.load(os.path.join(cdir, "class_ids.npy")),
+                np.load(os.path.join(cdir, "counts.npy")),
+                np.load(os.path.join(cdir, "sizes.npy")),
+                list(dataset.sample_ids),
+            )
+
+    staged = _build(dataset, max_objects)
+    if use_cache:
+        os.makedirs(cdir, exist_ok=True)
+        np.save(os.path.join(cdir, "images.npy"), staged.images)
+        np.save(os.path.join(cdir, "boxes.npy"), staged.boxes)
+        np.save(os.path.join(cdir, "class_ids.npy"), staged.class_ids)
+        np.save(os.path.join(cdir, "counts.npy"), staged.counts)
+        np.save(os.path.join(cdir, "sizes.npy"), staged.sizes)
+        with open(meta_path, "w") as fp:
+            json.dump(
+                {
+                    "sample_ids": list(dataset.sample_ids),
+                    "max_objects": max_objects,
+                },
+                fp,
+            )
+    return staged

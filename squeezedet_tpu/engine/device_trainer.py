@@ -1,0 +1,183 @@
+"""Device-resident training engine: data in HBM, one dispatch per epoch.
+
+Counterpart of :class:`squeezedet_tpu.engine.trainer.Trainer` for datasets
+that fit in device memory (KITTI does: ~4.9 GB train + ~1.4 GB val as
+uint8). The host's role shrinks to: upload everything once at startup
+(before the first execute — see CLAUDE.md on the axon tunnel), then per
+epoch send one PRNG key and read back a (steps, 4) stats array. The whole
+data path — batch gather, drift/flip/resize augmentation, GT->anchor
+encoding — runs inside the jitted epoch program (parallel/epoch.py).
+
+This replaces the reference's multi-worker DataLoader + per-batch H2D
+(src/train.py:40-50, src/engine/trainer.py:36-38) with a design that is
+host-independent: epoch wall time equals device compute time plus one
+tunnel round-trip, on any host.
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import numpy as np
+
+from squeezedet_tpu.core.boxes import boxes_postprocess
+from squeezedet_tpu.data.device_data import stage_dataset
+from squeezedet_tpu.parallel.epoch import (
+    EpochSpec,
+    make_predict_epoch,
+    make_train_epoch,
+    make_val_epoch,
+    put_device_data,
+)
+from squeezedet_tpu.parallel.mesh import make_mesh, replicate
+from squeezedet_tpu.parallel.train import TaskSpec, init_train_state, stepLR
+
+METRICS = ("loss", "class_loss", "score_loss", "bbox_loss")
+
+
+class DeviceTrainer:
+    """Trainer-compatible engine over device-resident train/val data."""
+
+    def __init__(self, params, task: TaskSpec, cfg, train_dataset,
+                 val_dataset=None, mesh=None):
+        self.task = task
+        self.cfg = cfg
+        if mesh is None:
+            n = cfg.data_parallel
+            if n == 0:
+                n = len(jax.devices())
+                while cfg.batch_size % n != 0:
+                    n -= 1
+            mesh = make_mesh(n)
+        self.mesh = mesh
+        if cfg.batch_size % self.mesh.size != 0:
+            raise ValueError(
+                f"batch_size {cfg.batch_size} not divisible by mesh size "
+                f"{self.mesh.size}"
+            )
+
+        spec = EpochSpec(
+            num_classes=cfg.num_classes,
+            out_size=tuple(cfg.input_size),
+            drift_prob=cfg.drift_prob,
+            flip_prob=cfg.flip_prob,
+            rgb_mean=tuple(np.ravel(cfg.rgb_mean).tolist()),
+            rgb_std=tuple(np.ravel(cfg.rgb_std).tolist()),
+        )
+        self.spec = spec
+
+        # stage + upload BEFORE any execute (tunnel H2D degradation)
+        staged_train = stage_dataset(train_dataset)
+        self.train_data, n_loc_train, hw_train = put_device_data(mesh, staged_train)
+        self.val_dataset = val_dataset
+        self.val_data = None
+        if val_dataset is not None:
+            staged_val = stage_dataset(val_dataset)
+            self.val_data, n_loc_val, hw_val = put_device_data(mesh, staged_val)
+            # eval needs the per-image ids/sizes on host for un-mapping
+            ndev = mesh.size
+            n_use = n_loc_val * ndev
+            self._val_ids = staged_val.sample_ids[:n_use]
+            self._val_sizes = np.asarray(staged_val.sizes[:n_use])
+
+        anchors_np = np.asarray(cfg.anchors, np.float32)
+        self.train_epoch_fn, self.train_steps = make_train_epoch(
+            task, spec, mesh, anchors_np, n_loc_train, cfg.batch_size, hw_train
+        )
+        if val_dataset is not None:
+            self.val_epoch_fn, self.val_steps = make_val_epoch(
+                task, spec, mesh, anchors_np, n_loc_val, cfg.batch_size, hw_val
+            )
+            self.predict_epoch_fn, _ = make_predict_epoch(
+                task, spec, mesh, anchors_np, n_loc_val, cfg.batch_size, hw_val
+            )
+
+        self.state = replicate(self.mesh, init_train_state(params, task))
+        self._base_key = jax.random.PRNGKey(cfg.seed)
+        self.metrics = list(METRICS)
+
+    @property
+    def params(self):
+        return self.state.params
+
+    def learning_rate(self, epoch: int) -> float:
+        return stepLR(self.cfg.lr, epoch)
+
+    def _summarize(self, stats, phase, epoch, minutes):
+        host = {m: np.asarray(stats[m]) for m in self.metrics}
+        if not np.all(np.isfinite(host["loss"])):
+            bad = int(np.argmax(~np.isfinite(host["loss"])))
+            raise FloatingPointError(
+                f"non-finite loss at epoch {epoch} step {bad} ({phase}): "
+                f"{ {m: float(host[m][bad]) for m in self.metrics} }"
+            )
+        out = {m: float(host[m].mean()) for m in self.metrics}
+        out["epoch_time"] = minutes
+        steps = host["loss"].shape[0]
+        stride = max(1, self.cfg.print_interval)
+        for s in range(0, steps, stride):
+            msg = f"epoch {epoch:<3d} {phase:<5s} [{s}/{steps}] "
+            msg += " ".join(
+                f"| {m} {float(host[m][s]):.3f}" for m in self.metrics
+            )
+            print(msg)
+        return out
+
+    def train_epoch(self, epoch: int, loader=None) -> dict[str, float]:
+        start = time.time()
+        key = jax.random.fold_in(self._base_key, epoch)
+        lr = self.learning_rate(epoch)
+        self.state, stats = self.train_epoch_fn(
+            self.state, self.train_data, lr, key
+        )
+        stats = jax.device_get(stats)  # one D2H sync per epoch
+        return self._summarize(
+            stats, "train", epoch, (time.time() - start) / 60.0
+        )
+
+    def val_epoch(self, epoch: int, loader=None) -> dict[str, float]:
+        start = time.time()
+        stats = jax.device_get(
+            self.val_epoch_fn(self.state.params, self.val_data)
+        )
+        return self._summarize(
+            stats, "val", epoch, (time.time() - start) / 60.0
+        )
+
+    def evaluate_val(self) -> dict[str, float]:
+        """Detect the resident val set in one dispatch, write KITTI result
+        txts, run the native evaluator (Trainer-mode twin: eval.py)."""
+        dets = jax.device_get(
+            self.predict_epoch_fn(self.state.params, self.val_data)
+        )
+        results = []
+        b = self.cfg.batch_size
+        oh, ow = self.spec.out_size
+        n_detected = dets["keep"].shape[0] * dets["keep"].shape[1]
+        for i, image_id in enumerate(self._val_ids):
+            step, pos = divmod(i, b)
+            # a batch-remainder tail (i >= n_detected) gets empty results
+            keep = (
+                dets["keep"][step][pos]
+                if i < n_detected
+                else np.zeros((1,), bool)
+            )
+            h, w = self._val_sizes[i]
+            meta = {
+                "image_id": image_id,
+                "orig_size": np.array([h, w, 3], np.int32),
+                "scales": np.array([oh / h, ow / w], np.float32),
+            }
+            res = {"image_meta": meta}
+            if keep.any():
+                res.update(
+                    class_ids=dets["class_ids"][step][pos][keep],
+                    scores=dets["scores"][step][pos][keep],
+                    boxes=boxes_postprocess(
+                        dets["boxes"][step][pos][keep], meta
+                    ),
+                )
+            results.append(res)
+        self.val_dataset.save_results(results)
+        return self.val_dataset.evaluate()

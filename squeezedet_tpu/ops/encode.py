@@ -1,0 +1,139 @@
+"""On-device GT -> anchor assignment and dense-GT encoding.
+
+Device twin of :mod:`squeezedet_tpu.core.matching` (host numpy; reference
+semantics at src/utils/boxes.py:84-135 and src/datasets/base.py:61-76).
+Moving the encode onto the TPU lets the whole training data path live in
+HBM: batches are gathered, augmented and encoded inside the jitted epoch
+(see parallel/epoch.py) with zero per-step host work or H2D traffic.
+
+The assignment is sequential greedy with a uniqueness mask, expressed as a
+`lax.scan` over a fixed number of padded GT slots:
+
+1. slot i picks the un-taken anchor with the largest IoU, if that IoU > 0;
+2. otherwise the un-taken anchor with the smallest squared L2 distance in
+   xywh space.
+
+Per slot this is one masked argmax/argmin over A anchors — at most
+``max_objects`` (typically 16) scan steps of O(A) work, trivially vmapped
+over the batch. Parity with the host matcher is asserted in
+tests/test_encode_device.py (ties between float IoUs aside, which are
+order-arbitrary in the reference too).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from jax import lax
+
+EPSILON = 1e-10
+
+
+def _xyxy_to_xywh(b):
+    """Corner -> center with the +1 width convention (core/boxes.py:24-37)."""
+    cx = (b[..., 0] + b[..., 2]) / 2.0
+    cy = (b[..., 1] + b[..., 3]) / 2.0
+    w = b[..., 2] - b[..., 0] + 1.0
+    h = b[..., 3] - b[..., 1] + 1.0
+    return jnp.stack([cx, cy, w, h], axis=-1)
+
+
+def _xywh_to_xyxy(b):
+    half_w = 0.5 * (b[..., 2] - 1.0)
+    half_h = 0.5 * (b[..., 3] - 1.0)
+    return jnp.stack(
+        [b[..., 0] - half_w, b[..., 1] - half_h,
+         b[..., 0] + half_w, b[..., 1] + half_h],
+        axis=-1,
+    )
+
+
+def _iou_one_vs_all(anchors_xyxy, box):
+    """Exclusive-area IoU of one xyxy box against all anchors
+    (host twin: core/boxes.py compute_overlaps_one)."""
+    lr = jnp.maximum(
+        jnp.minimum(anchors_xyxy[:, 2], box[2])
+        - jnp.maximum(anchors_xyxy[:, 0], box[0]),
+        0.0,
+    )
+    tb = jnp.maximum(
+        jnp.minimum(anchors_xyxy[:, 3], box[3])
+        - jnp.maximum(anchors_xyxy[:, 1], box[1]),
+        0.0,
+    )
+    inter = lr * tb
+    union = (
+        (anchors_xyxy[:, 2] - anchors_xyxy[:, 0])
+        * (anchors_xyxy[:, 3] - anchors_xyxy[:, 1])
+        + (box[2] - box[0]) * (box[3] - box[1])
+        - inter
+    )
+    return inter / (union + EPSILON)
+
+
+def match_anchors_device(boxes_xyxy, valid, anchors_xywh, anchors_xyxy):
+    """Greedy-unique anchor assignment for padded GT slots.
+
+    :param boxes_xyxy: (M, 4) padded GT boxes.
+    :param valid: (M,) bool, True for real slots.
+    :param anchors_xywh: (A, 4); ``anchors_xyxy``: (A, 4) same anchors.
+    :return: (chosen (M,) int32 — A for invalid slots, deltas (M, 4)).
+    """
+    num_anchors = anchors_xywh.shape[0]
+    boxes_xywh = _xyxy_to_xywh(boxes_xyxy)
+
+    def body(taken, slot):
+        box_xyxy, box_xywh, is_valid = slot
+        iou = _iou_one_vs_all(anchors_xyxy, box_xyxy)
+        iou_free = jnp.where(taken, -jnp.inf, iou)
+        best = jnp.argmax(iou_free)
+        # fallback: nearest free anchor by squared distance in xywh space
+        dist = jnp.sum((box_xywh - anchors_xywh) ** 2, axis=1)
+        dist_free = jnp.where(taken, jnp.inf, dist)
+        nearest = jnp.argmin(dist_free)
+        chosen = jnp.where(iou_free[best] > 0.0, best, nearest).astype(jnp.int32)
+        taken = jnp.where(
+            is_valid, taken | (jnp.arange(num_anchors) == chosen), taken
+        )
+        a = anchors_xywh[chosen]
+        deltas = jnp.stack(
+            [
+                (box_xywh[0] - a[0]) / a[2],
+                (box_xywh[1] - a[1]) / a[3],
+                jnp.log(box_xywh[2] / a[2]),
+                jnp.log(box_xywh[3] / a[3]),
+            ]
+        )
+        chosen = jnp.where(is_valid, chosen, num_anchors)
+        return taken, (chosen, deltas)
+
+    _, (chosen, deltas) = lax.scan(
+        body,
+        jnp.zeros((num_anchors,), dtype=bool),
+        (boxes_xyxy, boxes_xywh, valid),
+    )
+    return chosen, deltas
+
+
+def encode_annotations_device(
+    class_ids, boxes_xyxy, count, anchors_xywh, anchors_xyxy, num_classes
+):
+    """Dense per-anchor GT tensor ``(A, num_classes + 9)`` from padded slots.
+
+    Layout matches the host encoder (core/matching.py encode_annotations):
+    ``[mask(1) | gt_box xyxy(4) | gt_deltas(4) | one-hot class]``. Invalid
+    slots scatter to index A and are dropped.
+    """
+    num_anchors = anchors_xywh.shape[0]
+    m = boxes_xyxy.shape[0]
+    valid = jnp.arange(m) < count
+    chosen, deltas = match_anchors_device(
+        boxes_xyxy, valid, anchors_xywh, anchors_xyxy
+    )
+    onehot = jnp.eye(num_classes, dtype=jnp.float32)[
+        jnp.clip(class_ids, 0, num_classes - 1)
+    ]
+    rows = jnp.concatenate(
+        [jnp.ones((m, 1)), boxes_xyxy, deltas, onehot], axis=1
+    )
+    gt = jnp.zeros((num_anchors, num_classes + 9), dtype=jnp.float32)
+    return gt.at[chosen].set(rows, mode="drop")

@@ -75,7 +75,12 @@ def train(cfg) -> None:
     if cfg.load_model:
         params, _ = load_any(cfg.load_model, params, task.model)
 
-    trainer = Trainer(params, task, cfg)
+    if cfg.device_data:
+        from squeezedet_tpu.engine.device_trainer import DeviceTrainer
+
+        trainer = DeviceTrainer(params, task, cfg, train_dataset, val_dataset)
+    else:
+        trainer = Trainer(params, task, cfg)
 
     metrics = trainer.metrics if cfg.no_eval else trainer.metrics + ["mAP"]
     best = 1e9 if cfg.no_eval else 0.0
@@ -93,21 +98,24 @@ def train(cfg) -> None:
             f"resumed from {cfg.resume} at epoch {epoch} (best={best})"
         )
 
-    train_loader = DataLoader(
-        train_dataset,
-        batch_size=cfg.batch_size,
-        shuffle=True,
-        drop_last=True,
-        num_workers=cfg.num_workers,
-        seed=cfg.seed,
-    )
-    # no pad_last: padded duplicates would skew the val loss; the one
-    # remainder-sized batch costs a single extra compile
-    val_loader = DataLoader(
-        val_dataset,
-        batch_size=cfg.batch_size,
-        num_workers=cfg.num_workers,
-    )
+    if cfg.device_data:
+        train_loader = val_loader = None  # data already resident in HBM
+    else:
+        train_loader = DataLoader(
+            train_dataset,
+            batch_size=cfg.batch_size,
+            shuffle=True,
+            drop_last=True,
+            num_workers=cfg.num_workers,
+            seed=cfg.seed,
+        )
+        # no pad_last: padded duplicates would skew the val loss; the one
+        # remainder-sized batch costs a single extra compile
+        val_loader = DataLoader(
+            val_dataset,
+            batch_size=cfg.batch_size,
+            num_workers=cfg.num_workers,
+        )
 
     from squeezedet_tpu.utils.profiling import maybe_trace
 
@@ -138,7 +146,10 @@ def _train_epochs(
 
             aps = None
             if not cfg.no_eval:
-                aps = eval_dataset(val_dataset, trainer.params, cfg, task)
+                if hasattr(trainer, "evaluate_val"):
+                    aps = trainer.evaluate_val()  # device-resident val path
+                else:
+                    aps = eval_dataset(val_dataset, trainer.params, cfg, task)
                 logger.update(aps, phase="val", epoch=epoch)
 
             value = val_stats["loss"] if cfg.no_eval else aps["mAP"]

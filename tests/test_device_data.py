@@ -1,0 +1,242 @@
+"""Parity + correctness tests for the device-resident data path:
+ops/encode.py and ops/augment.py against their host twins, and the
+whole-epoch programs in parallel/epoch.py under the virtual 8-device mesh.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from squeezedet_tpu.core.anchors import generate_anchors
+from squeezedet_tpu.core.boxes import xywh_to_xyxy
+from squeezedet_tpu.core.image import drift, flip, resize, whiten
+from squeezedet_tpu.core.matching import encode_annotations
+from squeezedet_tpu.data.device_data import StagedArrays
+from squeezedet_tpu.models.squeezedet import ModelSpec, init_params
+from squeezedet_tpu.ops.augment import transform_boxes, warp_batch
+from squeezedet_tpu.ops.encode import _xywh_to_xyxy, encode_annotations_device
+from squeezedet_tpu.parallel.epoch import (
+    EpochSpec,
+    _make_gather,
+    _prep_batch,
+    make_predict_epoch,
+    make_train_epoch,
+    make_val_epoch,
+    put_device_data,
+)
+from squeezedet_tpu.parallel.mesh import make_mesh, replicate
+from squeezedet_tpu.parallel.train import (
+    TaskSpec,
+    init_train_state,
+    make_val_step,
+)
+
+SEEDS = np.array([[34, 30], [75, 45], [38, 90]], dtype=np.float32)
+INPUT_SIZE = (96, 160)
+ANCHORS = generate_anchors((6, 10), INPUT_SIZE, SEEDS)
+MEAN = np.array([93.877, 98.801, 95.923], np.float32).reshape(1, 1, 3)
+STD = np.array([78.782, 80.130, 81.200], np.float32).reshape(1, 1, 3)
+
+
+def _task():
+    return TaskSpec(
+        model=ModelSpec(num_classes=3, anchors_per_grid=3, dropout_prob=0.0),
+        input_size=INPUT_SIZE,
+        num_anchors=ANCHORS.shape[0],
+    )
+
+
+def _spec():
+    return EpochSpec(
+        num_classes=3,
+        out_size=INPUT_SIZE,
+        drift_prob=1.0,
+        flip_prob=0.5,
+        rgb_mean=tuple(MEAN.ravel().tolist()),
+        rgb_std=tuple(STD.ravel().tolist()),
+    )
+
+
+def test_encode_device_matches_host():
+    """The on-device greedy matcher must reproduce the host assignment
+    exactly (both break exact-IoU ties by lowest anchor index)."""
+    a_xywh = jnp.asarray(ANCHORS)
+    a_xyxy = jnp.asarray(xywh_to_xyxy(ANCHORS))
+    rng = np.random.RandomState(0)
+    for _ in range(25):
+        n = rng.randint(0, 13)
+        x1 = rng.uniform(0, 130, n)
+        y1 = rng.uniform(0, 70, n)
+        boxes = np.stack(
+            [x1, y1,
+             np.minimum(x1 + rng.uniform(4, 60, n), 159),
+             np.minimum(y1 + rng.uniform(4, 40, n), 95)],
+            1,
+        ).astype(np.float32)
+        cls = rng.randint(0, 3, n)
+        host = encode_annotations(cls, boxes, ANCHORS, 3)
+
+        m = 16
+        pb = np.zeros((m, 4), np.float32)
+        pb[:n] = boxes
+        pc = np.zeros((m,), np.int32)
+        pc[:n] = cls
+        dev = np.asarray(
+            encode_annotations_device(
+                jnp.asarray(pc), jnp.asarray(pb), jnp.int32(n),
+                a_xywh, a_xyxy, 3,
+            )
+        )
+        np.testing.assert_allclose(dev, host, atol=2e-4)
+
+
+def test_encode_device_empty():
+    gt = encode_annotations_device(
+        jnp.zeros((16,), jnp.int32), jnp.zeros((16, 4)), jnp.int32(0),
+        jnp.asarray(ANCHORS), jnp.asarray(xywh_to_xyxy(ANCHORS)), 3,
+    )
+    assert float(jnp.abs(gt).sum()) == 0.0
+
+
+class _FixedRng:
+    """Injects predetermined drift/flip draws into the host pipeline."""
+
+    def __init__(self, fire, dy=0, dx=0):
+        self.fire = fire
+        self.vals = [dy, dx]
+
+    def uniform(self):
+        return 0.0 if self.fire else 1.0
+
+    def randint(self, lo, hi):
+        return self.vals.pop(0)
+
+
+@pytest.mark.parametrize("do_drift,do_flip", [
+    (False, False), (True, False), (False, True), (True, True),
+])
+def test_warp_matches_host_pipeline(do_drift, do_flip):
+    """Device warp (drift+flip+resize as one gather) vs the host
+    whiten->drift->flip->resize chain, same injected draws."""
+    rng = np.random.RandomState(3)
+    h, w = 93, 155
+    img = rng.randint(0, 256, (h, w, 3)).astype(np.float32)
+    boxes = np.array([[30.0, 25.0, 80.0, 60.0], [100.0, 40.0, 140.0, 88.0]],
+                     np.float32)
+    dy = rng.randint(-h // 4, min(h // 4, 25)) if do_drift else 0
+    dx = rng.randint(-w // 8, min(w // 8, 30)) if do_drift else 0
+
+    meta = {"orig_size": np.array((h, w, 3), np.int32)}
+    him, meta = whiten(img.copy(), meta, MEAN, STD)
+    hboxes = boxes.copy()
+    him, meta, hboxes = drift(
+        him, meta, 0.5, hboxes, rng=_FixedRng(do_drift, dy, dx), pad_value=0.0
+    )
+    him, meta, hboxes = flip(him, meta, 0.5, hboxes, rng=_FixedRng(do_flip))
+    him, meta, hboxes = resize(him, meta, INPUT_SIZE, hboxes)
+
+    aug = {
+        "dy": jnp.array([dy], jnp.int32),
+        "dx": jnp.array([dx], jnp.int32),
+        "flip": jnp.array([do_flip]),
+    }
+    sizes = jnp.array([[h, w]], jnp.int32)
+    dimg = warp_batch(
+        jnp.asarray(img[None]), sizes, aug, INPUT_SIZE,
+        jnp.asarray(MEAN.ravel()),
+    )
+    dimg = (np.asarray(dimg[0]) - MEAN) / STD
+    dboxes = np.asarray(
+        transform_boxes(jnp.asarray(boxes[None]), sizes, aug, INPUT_SIZE)[0]
+    )
+
+    assert np.abs(dimg - him).max() < 2e-2  # whitened units
+    np.testing.assert_allclose(dboxes, hboxes, atol=1e-3)
+
+
+def _staged(n=16, hs=93, ws=155, seed=0):
+    rng = np.random.RandomState(seed)
+    images = rng.randint(0, 256, (n, hs, ws, 3)).astype(np.uint8)
+    boxes = np.zeros((n, 16, 4), np.float32)
+    class_ids = np.zeros((n, 16), np.int32)
+    counts = np.zeros((n,), np.int32)
+    for i in range(n):
+        m = rng.randint(1, 5)
+        x1 = rng.uniform(5, 100, m)
+        y1 = rng.uniform(5, 50, m)
+        boxes[i, :m] = np.stack(
+            [x1, y1,
+             np.minimum(x1 + rng.uniform(4, 50, m), ws - 1),
+             np.minimum(y1 + rng.uniform(4, 35, m), hs - 1)],
+            1,
+        )
+        class_ids[i, :m] = rng.randint(0, 3, m)
+        counts[i] = m
+    sizes = np.full((n, 2), (hs, ws), np.int32)
+    ids = [f"{i:06d}" for i in range(n)]
+    return StagedArrays(images, boxes, class_ids, counts, sizes, ids)
+
+
+def test_device_train_epoch_descends():
+    """3 whole-epoch dispatches on the 8-device mesh: loss descends and
+    the step counter advances by steps-per-epoch each time."""
+    assert len(jax.devices()) >= 8
+    mesh = make_mesh(8)
+    task = _task()
+    data, n_loc, hw = put_device_data(mesh, _staged(16))
+    fn, steps = make_train_epoch(task, _spec(), mesh, ANCHORS, n_loc, 8, hw)
+    assert steps == 2
+
+    state = replicate(mesh, init_train_state(
+        init_params(jax.random.PRNGKey(0), task.model), task))
+    losses = []
+    for epoch in range(1, 4):
+        state, stats = fn(state, data, 0.01, jax.random.PRNGKey(epoch))
+        losses.extend(np.asarray(stats["loss"]).tolist())
+    assert int(state.step) == 6
+    assert np.all(np.isfinite(losses))
+    assert np.mean(losses[-2:]) < np.mean(losses[:2])
+
+
+def test_device_val_epoch_matches_manual():
+    """make_val_epoch == manually gathering/prepping each batch and running
+    the ordinary val step (i.e. the scan adds nothing)."""
+    assert len(jax.devices()) >= 8
+    mesh = make_mesh(8)
+    task = _task()
+    spec = _spec()
+    data, n_loc, hw = put_device_data(mesh, _staged(16, seed=5))
+    fn, steps = make_val_epoch(task, spec, mesh, ANCHORS, n_loc, 8, hw)
+    params = replicate(mesh, init_params(jax.random.PRNGKey(1), task.model))
+    stats = jax.device_get(fn(params, data))
+
+    gather = _make_gather(mesh)
+    a_xywh = jnp.asarray(ANCHORS)
+    a_xyxy = _xywh_to_xyxy(a_xywh)
+    offsets = jnp.asarray((np.arange(8) * n_loc)[:, None].astype(np.int32))
+    val_step = make_val_step(task)
+    for s in range(steps):
+        idx = jnp.full((8, 1), s, jnp.int32)  # b_loc=1: step s reads
+        # local sample s on every device (sequential val order)
+        images, gt = _prep_batch(
+            data, gather, idx, offsets, None, task, spec,
+            a_xywh, a_xyxy, hw, train=False,
+        )
+        manual = val_step(params, images, gt, a_xywh, None)
+        for k in stats:
+            np.testing.assert_allclose(
+                stats[k][s], float(manual[k]), rtol=2e-5, atol=2e-5
+            )
+
+
+def test_device_predict_epoch_shapes():
+    assert len(jax.devices()) >= 8
+    mesh = make_mesh(8)
+    task = _task()
+    data, n_loc, hw = put_device_data(mesh, _staged(16, seed=9))
+    fn, steps = make_predict_epoch(task, _spec(), mesh, ANCHORS, n_loc, 8, hw)
+    params = replicate(mesh, init_params(jax.random.PRNGKey(2), task.model))
+    dets = jax.device_get(fn(params, data))
+    assert dets["boxes"].shape == (steps, 8, task.top_k, 4)
+    assert dets["keep"].dtype == np.bool_
