@@ -126,3 +126,27 @@ def test_resume_from_state(tmp_path, monkeypatch):
     content = open(os.path.join(cfg2.save_dir, logs[-1], "log.txt")).read()
     assert "resumed" in content
     assert "epoch 2" in content
+
+
+def test_full_train_eval_cycle_device_data(tmp_path, monkeypatch):
+    """Same end-to-end slice through the device-resident path: staging,
+    HBM-resident epochs, on-device val/predict sweeps, KITTI txts, native
+    evaluator, checkpoints (--device_data; engine/device_trainer.py)."""
+    _make_kitti_tree(str(tmp_path / "data"))
+    cfg = _cfg(tmp_path, device_data=True)
+
+    import squeezedet_tpu.train as train_mod
+
+    monkeypatch.setattr(train_mod, "load_dataset", lambda name: TinyKITTI)
+    train_mod.train(cfg)
+
+    assert os.path.isdir(os.path.join(cfg.save_dir, "model_last"))
+    assert os.path.isdir(os.path.join(cfg.save_dir, "state_last"))
+    results_dir = os.path.join(cfg.save_dir, "results")
+    assert os.path.isdir(os.path.join(results_dir, "data"))
+    logs = [d for d in os.listdir(cfg.save_dir) if d.startswith("logs_")]
+    content = open(os.path.join(cfg.save_dir, logs[0], "log.txt")).read()
+    assert "mAP" in content and "train" in content and "val" in content
+    # staging cache written and reusable
+    cache = os.path.join(cfg.data_dir, "kitti", "cache", "train", "meta.json")
+    assert os.path.exists(cache)
