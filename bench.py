@@ -161,6 +161,49 @@ def main() -> None:
     drain(predict(folded, u8_batches[0], anchors))  # compile
     fps_u8 = max(throughput(u8_batches, folded), throughput_multi(u8_batches, folded))
 
+    # int8 PTQ serving path (models/quant.py): s8xs8->s32 on the MXU runs
+    # at 2x the bf16 rate on v5e; measured with the same pipelined window.
+    # Gated: fall back silently if the relay can't lower int8 convs.
+    fps_int8 = None
+    try:
+        from squeezedet_tpu.models.quant import (
+            calibrate_act_scales,
+            forward_int8,
+            quantize_params,
+        )
+        from squeezedet_tpu.ops.postprocess import postprocess as _pp
+
+        act_scales = calibrate_act_scales(params, spec, host_batches[:2])
+        qparams = quantize_params(params, spec, act_scales)
+
+        @jax.jit
+        def predict_int8(qp, images, anchors):
+            pred = forward_int8(qp, images, spec)
+            return _pp(
+                pred, anchors, input_size=INPUT_SIZE, num_classes=3,
+                top_k=task.top_k, nms_thresh=task.nms_thresh,
+                score_thresh=task.score_thresh,
+            )
+
+        drain(predict_int8(qparams, device_batches[0], anchors))  # compile
+
+        def throughput_int8():
+            window: collections.deque = collections.deque()
+            t0 = time.perf_counter()
+            for i in range(ITERS):
+                window.append(
+                    predict_int8(qparams, device_batches[i % 4], anchors)
+                )
+                if len(window) > IN_FLIGHT:
+                    drain(window.popleft())
+            while window:
+                drain(window.popleft())
+            return ITERS * BATCH / (time.perf_counter() - t0)
+
+        fps_int8 = throughput_int8()
+    except Exception as e:  # pragma: no cover - relay capability probe
+        print(f"[bench] int8 path unavailable: {e}", file=sys.stderr)
+
     # train step timing
     gt = np.stack(
         [
@@ -216,6 +259,9 @@ def main() -> None:
                 "k_per_dispatch": K_DISPATCH,
                 "infer_img_per_s_single_dispatch": round(fps_single, 1),
                 "uint8_serving_img_per_s": round(fps_u8, 1),
+                "int8_ptq_img_per_s": (
+                    round(fps_int8, 1) if fps_int8 is not None else None
+                ),
                 "train_s_per_step_b20": round(train_s_per_step, 4),
                 "train_s_per_step_single_dispatch": round(train_s_per_step_single, 4),
                 "train_s_per_epoch_3740imgs": round(epoch_s, 1),
