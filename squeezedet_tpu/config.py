@@ -85,6 +85,8 @@ class Config:
     profile_dir: str = ""  # jax.profiler trace output ('' = off)
     native_loader: bool = True  # use the C++ image loader when built
     use_pallas: bool = False  # Pallas kernels for hot ops (else lax path)
+    serve_int8: bool = False  # int8 PTQ serving (models/quant.py): absmax
+    #   calibration on the first batch, s8xs8->s32 convs on the MXU
     serve_uint8: bool = False  # ship raw uint8 batches; whitening folded
     #   into the stem conv on device (4x less H2D traffic)
     cache_images: bool = True  # keep decoded images in RAM (uint8) so each

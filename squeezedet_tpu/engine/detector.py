@@ -31,6 +31,12 @@ class Detector:
         self.anchors = jnp.asarray(cfg.anchors)
         self.predict = make_predict_step(task)
         self.serve_uint8 = bool(getattr(cfg, "serve_uint8", False))
+        self.serve_int8 = bool(getattr(cfg, "serve_int8", False))
+        if self.serve_uint8 and self.serve_int8:
+            raise ValueError(
+                "serve_uint8 and serve_int8 are mutually exclusive (int8 "
+                "quantizes whitened float inputs)"
+            )
         if self.serve_uint8:
             # uint8 serving: whitening folded into the stem conv; batches
             # ship raw (4x less H2D) and are cast to compute dtype on device
@@ -38,11 +44,46 @@ class Detector:
 
             params = fold_whitening(params, cfg.rgb_mean, cfg.rgb_std)
         self.params = params
+        self.qparams = None  # int8: calibrated lazily on the first batch
+        if self.serve_int8:
+            from squeezedet_tpu.models.quant import forward_int8
+            from squeezedet_tpu.ops.postprocess import postprocess
+
+            @jax.jit
+            def predict_int8(qparams, images, anchors):
+                pred = forward_int8(qparams, images, task.model)
+                return postprocess(
+                    pred, anchors, input_size=task.input_size,
+                    num_classes=task.model.num_classes, top_k=task.top_k,
+                    nms_thresh=task.nms_thresh,
+                    score_thresh=task.score_thresh,
+                )
+
+            self._predict_int8 = predict_int8
+
+    def _run_predict(self, images):
+        """Dispatch one batch through the active serving path."""
+        if self.serve_int8:
+            if self.qparams is None:
+                # absmax PTQ calibration on the first batch (models/quant.py)
+                from squeezedet_tpu.models.quant import (
+                    calibrate_act_scales,
+                    quantize_params,
+                )
+
+                scales = calibrate_act_scales(
+                    self.params, self.task.model, [images]
+                )
+                self.qparams = quantize_params(
+                    self.params, self.task.model, scales
+                )
+            return self._predict_int8(self.qparams, images, self.anchors)
+        return self.predict(self.params, images, self.anchors)
 
     def detect(self, batch: dict[str, Any]) -> list[dict[str, Any]]:
         """Run one batch; returns one result dict per valid image, with
         boxes mapped back to original-image coordinates."""
-        out = self.predict(self.params, jnp.asarray(batch["image"]), self.anchors)
+        out = self._run_predict(jnp.asarray(batch["image"]))
         out = jax.device_get(out)
 
         num_valid = batch.get("num_valid", len(batch["image_metas"]))
@@ -96,9 +137,7 @@ class Detector:
             data_timer.update(time.time() - end)
             end = time.time()
 
-            out = self.predict(
-                self.params, jnp.asarray(batch["image"]), self.anchors
-            )
+            out = self._run_predict(jnp.asarray(batch["image"]))
             debug_images = batch["image"] if self.cfg.debug == 2 else None
             window.append(
                 (out, batch["image_metas"], batch["num_valid"], debug_images)

@@ -103,3 +103,33 @@ def test_int8_detections_agree_with_float():
                     break
     assert total > 0
     assert matched / total >= 0.8, (matched, total)
+
+
+def test_detector_serve_int8(tmp_path, monkeypatch):
+    """--serve_int8 detector end-to-end on the tiny on-disk dataset:
+    lazy first-batch calibration, int8 predict, result txts."""
+    from tests.test_e2e import TinyKITTI, _cfg, _make_kitti_tree
+    from squeezedet_tpu.engine.detector import Detector
+    from squeezedet_tpu.models.squeezedet import init_params
+    from squeezedet_tpu.parallel.train import TaskSpec
+
+    _make_kitti_tree(str(tmp_path / "data"))
+    cfg = _cfg(tmp_path, serve_int8=True, mode="eval")
+    dataset = TinyKITTI("val", cfg)
+    cfg.update_dataset_info(dataset)
+
+    task = TaskSpec(
+        model=ModelSpec(
+            num_classes=3, anchors_per_grid=9, dropout_prob=0.0,
+            init_scheme="he",
+        ),
+        input_size=dataset.input_size,
+        num_anchors=dataset.num_anchors,
+        score_thresh=0.0,
+    )
+    params = init_params(jax.random.PRNGKey(0), task.model)
+    det = Detector(params, task, cfg)
+    results = det.detect_dataset(dataset)
+    assert len(results) == len(dataset)
+    assert det.qparams is not None  # calibration ran
+    assert det.qparams["stem"]["w"].dtype == jnp.int8
