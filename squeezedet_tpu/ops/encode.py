@@ -22,6 +22,7 @@ order-arbitrary in the reference too).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -81,15 +82,20 @@ def match_anchors_device(boxes_xyxy, valid, anchors_xywh, anchors_xyxy):
     num_anchors = anchors_xywh.shape[0]
     boxes_xywh = _xyxy_to_xywh(boxes_xyxy)
 
+    # hoist the O(M*A) geometry out of the sequential part: IoU and
+    # fallback-distance matrices for every slot at once (one vectorized
+    # sweep); the scan then only does masked argmax/argmin picks
+    iou_all = jax.vmap(lambda b: _iou_one_vs_all(anchors_xyxy, b))(boxes_xyxy)
+    dist_all = jnp.sum(
+        (boxes_xywh[:, None, :] - anchors_xywh[None, :, :]) ** 2, axis=-1
+    )  # (M, A)
+
     def body(taken, slot):
-        box_xyxy, box_xywh, is_valid = slot
-        iou = _iou_one_vs_all(anchors_xyxy, box_xyxy)
+        iou, dist, box_xywh, is_valid = slot
         iou_free = jnp.where(taken, -jnp.inf, iou)
         best = jnp.argmax(iou_free)
         # fallback: nearest free anchor by squared distance in xywh space
-        dist = jnp.sum((box_xywh - anchors_xywh) ** 2, axis=1)
-        dist_free = jnp.where(taken, jnp.inf, dist)
-        nearest = jnp.argmin(dist_free)
+        nearest = jnp.argmin(jnp.where(taken, jnp.inf, dist))
         chosen = jnp.where(iou_free[best] > 0.0, best, nearest).astype(jnp.int32)
         taken = jnp.where(
             is_valid, taken | (jnp.arange(num_anchors) == chosen), taken
@@ -109,7 +115,7 @@ def match_anchors_device(boxes_xyxy, valid, anchors_xywh, anchors_xyxy):
     _, (chosen, deltas) = lax.scan(
         body,
         jnp.zeros((num_anchors,), dtype=bool),
-        (boxes_xyxy, boxes_xywh, valid),
+        (iou_all, dist_all, boxes_xywh, valid),
     )
     return chosen, deltas
 
