@@ -84,7 +84,11 @@ def match_anchors_device(boxes_xyxy, valid, anchors_xywh, anchors_xyxy):
 
     # hoist the O(M*A) geometry out of the sequential part: IoU and
     # fallback-distance matrices for every slot at once (one vectorized
-    # sweep); the scan then only does masked argmax/argmin picks
+    # sweep); the scan then only does masked argmax/argmin picks.
+    # (Measured alternative on v5e: reducing each slot to lax.top_k(32)
+    # candidates shrinks the loop body 500x but the two (M, A) top_k
+    # sweeps cost MORE than they save — 63.8 vs 52.7 ms/train-step at
+    # KITTI scale — so the full-width masked argmax stays.)
     iou_all = jax.vmap(lambda b: _iou_one_vs_all(anchors_xyxy, b))(boxes_xyxy)
     dist_all = jnp.sum(
         (boxes_xywh[:, None, :] - anchors_xywh[None, :, :]) ** 2, axis=-1

@@ -240,3 +240,27 @@ def test_device_predict_epoch_shapes():
     dets = jax.device_get(fn(params, data))
     assert dets["boxes"].shape == (steps, 8, task.top_k, 4)
     assert dets["keep"].dtype == np.bool_
+
+
+def test_encode_device_collision_stress():
+    """16 nearly-identical boxes: every slot fights for the same anchors,
+    exercising the top-K candidate bound of the device matcher at its
+    worst case (15 prior-taken candidates). Must still equal the host."""
+    a_xywh = jnp.asarray(ANCHORS)
+    a_xyxy = jnp.asarray(xywh_to_xyxy(ANCHORS))
+    rng = np.random.RandomState(7)
+    for trial in range(5):
+        base = np.array([40.0, 30.0, 90.0, 70.0], np.float32)
+        jitter = rng.uniform(-1.5, 1.5, (16, 4)).astype(np.float32)
+        boxes = np.clip(base[None] + jitter, 0, [159, 95, 159, 95])
+        boxes[:, 2] = np.maximum(boxes[:, 2], boxes[:, 0] + 2)
+        boxes[:, 3] = np.maximum(boxes[:, 3], boxes[:, 1] + 2)
+        cls = rng.randint(0, 3, 16)
+        host = encode_annotations(cls, boxes, ANCHORS, 3)
+        dev = np.asarray(
+            encode_annotations_device(
+                jnp.asarray(cls, jnp.int32), jnp.asarray(boxes),
+                jnp.int32(16), a_xywh, a_xyxy, 3,
+            )
+        )
+        np.testing.assert_allclose(dev, host, atol=2e-4, err_msg=f"trial {trial}")
