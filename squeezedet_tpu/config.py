@@ -85,6 +85,10 @@ class Config:
     profile_dir: str = ""  # jax.profiler trace output ('' = off)
     native_loader: bool = True  # use the C++ image loader when built
     use_pallas: bool = False  # Pallas kernels for hot ops (else lax path)
+    dispatch_timeout_s: float = 600.0  # device-data mode: fail loudly if a
+    #   per-epoch device readback stalls this long (wedged relay RPC —
+    #   observed in production; resume with --resume <save_dir>/state_last).
+    #   0 disables the watchdog.
     serve_int8: bool = False  # int8 PTQ serving (models/quant.py): absmax
     #   calibration on the first batch, s8xs8->s32 convs on the MXU
     serve_uint8: bool = False  # ship raw uint8 batches; whitening folded

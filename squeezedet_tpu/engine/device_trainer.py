@@ -124,6 +124,35 @@ class DeviceTrainer:
             print(msg)
         return out
 
+    def _fetch_guarded(self, stats, epoch: int):
+        """D2H readback with a hang watchdog.
+
+        Production failure mode (observed epoch 235 of the hard300 run):
+        a relay RPC wedges forever mid-run, the process blocks silently in
+        device_get and an unattended multi-hour run dies quietly. The
+        readback runs in a worker thread; if it exceeds the timeout we
+        raise loudly with resume instructions instead of hanging. 0
+        disables. The wedged RPC cannot be cancelled in-process (the TPU
+        claim is single-owner), so fail-fast + --resume is the recovery."""
+        timeout_s = float(getattr(self.cfg, "dispatch_timeout_s", 600.0))
+        if timeout_s <= 0:
+            return jax.device_get(stats)
+        from concurrent.futures import ThreadPoolExecutor
+        from concurrent.futures import TimeoutError as FutTimeout
+
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            fut = pool.submit(jax.device_get, stats)
+            try:
+                return fut.result(timeout=timeout_s)
+            except FutTimeout:
+                raise RuntimeError(
+                    f"device readback stalled > {timeout_s:.0f}s at epoch "
+                    f"{epoch} — the TPU relay RPC has likely wedged "
+                    "(known axon pathology, see CLAUDE.md). Kill this "
+                    "process and resume with "
+                    f"--resume {self.cfg.save_dir}/state_last"
+                ) from None
+
     def train_epoch(self, epoch: int, loader=None) -> dict[str, float]:
         start = time.time()
         key = jax.random.fold_in(self._base_key, epoch)
@@ -131,15 +160,15 @@ class DeviceTrainer:
         self.state, stats = self.train_epoch_fn(
             self.state, self.train_data, lr, key
         )
-        stats = jax.device_get(stats)  # one D2H sync per epoch
+        stats = self._fetch_guarded(stats, epoch)  # one D2H sync per epoch
         return self._summarize(
             stats, "train", epoch, (time.time() - start) / 60.0
         )
 
     def val_epoch(self, epoch: int, loader=None) -> dict[str, float]:
         start = time.time()
-        stats = jax.device_get(
-            self.val_epoch_fn(self.state.params, self.val_data)
+        stats = self._fetch_guarded(
+            self.val_epoch_fn(self.state.params, self.val_data), epoch
         )
         return self._summarize(
             stats, "val", epoch, (time.time() - start) / 60.0

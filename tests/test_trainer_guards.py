@@ -89,3 +89,28 @@ def test_eval_refuses_random_weights():
     cfg = Config(mode="eval", load_model="")
     with pytest.raises(SystemExit, match="load_model"):
         evaluate(cfg)
+
+
+def test_device_trainer_dispatch_watchdog(monkeypatch):
+    """A wedged device readback must raise with resume instructions, not
+    hang forever (observed relay pathology; engine/device_trainer.py)."""
+    import time as _time
+
+    import pytest
+
+    from squeezedet_tpu.engine.device_trainer import DeviceTrainer
+
+    class FakeCfg:
+        dispatch_timeout_s = 0.2
+        save_dir = "/tmp/x"
+
+    trainer = DeviceTrainer.__new__(DeviceTrainer)  # skip heavy __init__
+    trainer.cfg = FakeCfg()
+
+    import squeezedet_tpu.engine.device_trainer as dt
+
+    monkeypatch.setattr(
+        dt.jax, "device_get", lambda s: _time.sleep(5.0)
+    )
+    with pytest.raises(RuntimeError, match="resume"):
+        trainer._fetch_guarded({"loss": None}, epoch=7)
