@@ -57,6 +57,18 @@ class DeviceTrainer:
                 f"{self.mesh.size}"
             )
 
+        if getattr(cfg, "forbid_resize", False):
+            raise ValueError(
+                "--device_data implements the resize preprocessing path "
+                "only; --forbid_resize (center crop/pad) needs the host "
+                "pipeline — drop one of the two flags"
+            )
+        if getattr(cfg, "num_iters", -1) > 0:
+            print(
+                "[device_data] --num_iters is ignored: the HBM-resident "
+                "path always runs full epochs (one dispatch per epoch)"
+            )
+
         spec = EpochSpec(
             num_classes=cfg.num_classes,
             out_size=tuple(cfg.input_size),
