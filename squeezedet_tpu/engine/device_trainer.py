@@ -152,18 +152,24 @@ class DeviceTrainer:
         from concurrent.futures import ThreadPoolExecutor
         from concurrent.futures import TimeoutError as FutTimeout
 
-        with ThreadPoolExecutor(max_workers=1) as pool:
-            fut = pool.submit(jax.device_get, stats)
-            try:
-                return fut.result(timeout=timeout_s)
-            except FutTimeout:
-                raise RuntimeError(
-                    f"device readback stalled > {timeout_s:.0f}s at epoch "
-                    f"{epoch} — the TPU relay RPC has likely wedged "
-                    "(known axon pathology, see CLAUDE.md). Kill this "
-                    "process and resume with "
-                    f"--resume {self.cfg.save_dir}/state_last"
-                ) from None
+        # no `with`: the executor's __exit__ joins its threads, which
+        # would block on the very hang we are guarding against — shut
+        # down without waiting and leak the wedged thread instead
+        pool = ThreadPoolExecutor(max_workers=1)
+        fut = pool.submit(jax.device_get, stats)
+        try:
+            result = fut.result(timeout=timeout_s)
+        except FutTimeout:
+            pool.shutdown(wait=False)
+            raise RuntimeError(
+                f"device readback stalled > {timeout_s:.0f}s at epoch "
+                f"{epoch} — the TPU relay RPC has likely wedged "
+                "(known axon pathology, see CLAUDE.md). Kill this "
+                "process and resume with "
+                f"--resume {self.cfg.save_dir}/state_last"
+            ) from None
+        pool.shutdown(wait=False)
+        return result
 
     def train_epoch(self, epoch: int, loader=None) -> dict[str, float]:
         start = time.time()
