@@ -79,3 +79,43 @@ def test_kmeans_pp_fallback_clusters():
     centers = centers[np.argsort(centers[:, 0])]
     np.testing.assert_allclose(centers[0], [10, 10], atol=1.5)
     np.testing.assert_allclose(centers[1], [100, 50], atol=1.5)
+
+
+def test_train_supervisor_resumes(tmp_path):
+    """Supervisor relaunches a crashed run with --resume and stops on
+    success (tools/train_supervisor.py; the relay-wedge recovery loop)."""
+    import subprocess
+    import sys
+
+    import squeezedet_tpu  # noqa: F401  (repo root on sys.path)
+
+    state = tmp_path / "exp" / "run1" / "state_last"
+    marker = tmp_path / "attempts.txt"
+    # fake trainer: writes state_last, fails twice, succeeds on the third
+    fake = tmp_path / "fake_train.py"
+    fake.write_text(
+        "import os, sys\n"
+        f"m = {str(marker)!r}\n"
+        "n = int(open(m).read()) if os.path.exists(m) else 0\n"
+        "open(m, 'w').write(str(n + 1))\n"
+        f"os.makedirs({str(state)!r}, exist_ok=True)\n"
+        "resumed = '--resume' in sys.argv\n"
+        "if n >= 2:\n"
+        "    assert resumed, 'relaunch must pass --resume'\n"
+        "    sys.exit(0)\n"
+        "sys.exit(3)\n"
+    )
+    out = subprocess.run(
+        [
+            sys.executable, "tools/train_supervisor.py",
+            "--max_restarts", "5", "--retry_delay_s", "0.1",
+            "--train_cmd", f"{sys.executable} {fake}",
+            "--",
+            "--exp_id", "run1", "--save_dir", str(tmp_path / "exp" / "run1"),
+        ],
+        capture_output=True, text=True, cwd=os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert out.returncode == 0, out.stdout + out.stderr
+    assert open(marker).read() == "3"
+    assert "resuming from" in out.stdout

@@ -1,0 +1,92 @@
+#!/usr/bin/env python
+"""Auto-resuming training supervisor.
+
+The axon TPU relay can wedge an RPC mid-run (observed twice in
+production: hard300 epoch 235, plus150 epoch 130 — see CLAUDE.md); the
+in-process dispatch watchdog (engine/device_trainer.py) turns the silent
+hang into a loud failure, and this supervisor turns the failure into an
+automatic resume: it launches `main.py train` with the given flags and,
+whenever the process dies before writing the final epoch, relaunches it
+with `--resume <save_dir>/state_last` (which restores optimizer state,
+epoch and the best-metric tracker). Combined with `--save_intervals`,
+an unattended multi-hour run survives any number of relay wedges.
+
+Usage:
+    python tools/train_supervisor.py [--max_restarts N] -- <train flags...>
+
+Example:
+    python tools/train_supervisor.py --max_restarts 10 -- \\
+        --dataset kitti --exp_id my_run --device_data --num_epochs 300
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def parse_flag(flags: list[str], name: str, default=None):
+    for i, f in enumerate(flags):
+        if f == f"--{name}" and i + 1 < len(flags):
+            return flags[i + 1]
+        if f.startswith(f"--{name}="):
+            return f.split("=", 1)[1]
+    return default
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--max_restarts", type=int, default=10)
+    ap.add_argument("--retry_delay_s", type=float, default=30.0,
+                    help="pause before relaunch (lets the relay recover)")
+    ap.add_argument("--train_cmd", default="",
+                    help="override the launched command (testing)")
+    ap.add_argument("flags", nargs=argparse.REMAINDER,
+                    help="-- followed by main.py train flags")
+    args = ap.parse_args(argv)
+    flags = [f for f in args.flags if f != "--"]
+
+    exp_id = parse_flag(flags, "exp_id", "default")
+    save_dir = parse_flag(
+        flags, "save_dir", os.path.join(REPO, "exp", exp_id)
+    )
+    state_last = os.path.join(save_dir, "state_last")
+
+    base_cmd = (
+        args.train_cmd.split() if args.train_cmd
+        else [sys.executable, os.path.join(REPO, "main.py"), "train"]
+    )
+
+    for attempt in range(args.max_restarts + 1):
+        cmd = list(base_cmd) + flags
+        if attempt > 0 and os.path.isdir(state_last):
+            cmd += ["--resume", state_last]
+        print(f"[supervisor] attempt {attempt}: {' '.join(cmd)}", flush=True)
+        rc = subprocess.call(cmd)
+        if rc == 0:
+            # a relaunch that resumes past the final epoch exits 0
+            # immediately, so completion detection needs no metadata
+            print("[supervisor] training completed", flush=True)
+            return 0
+        if not os.path.isdir(state_last):
+            print(
+                f"[supervisor] exited rc={rc} with no resumable state at "
+                f"{state_last}; giving up", flush=True,
+            )
+            return rc
+        print(
+            f"[supervisor] exited rc={rc}; resuming from {state_last} in "
+            f"{args.retry_delay_s:.0f}s", flush=True,
+        )
+        time.sleep(args.retry_delay_s)
+    print("[supervisor] restart budget exhausted", flush=True)
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
