@@ -161,6 +161,16 @@ def main() -> None:
     drain(predict(folded, u8_batches[0], anchors))  # compile
     fps_u8 = max(throughput(u8_batches, folded), throughput_multi(u8_batches, folded))
 
+    # single-image latency (batch 1, full round trip incl. D2H readback)
+    img1 = jax.device_put(host_batches[0][:1])
+    drain(predict(params, img1, anchors))  # compile
+    lat = []
+    for _ in range(30):
+        t0 = time.perf_counter()
+        drain(predict(params, img1, anchors))
+        lat.append(time.perf_counter() - t0)
+    lat_ms = sorted(lat)[len(lat) // 2] * 1e3  # p50
+
     # int8 PTQ serving path (models/quant.py): s8xs8->s32 on the MXU runs
     # at 2x the bf16 rate on v5e; measured with the same pipelined window.
     # Gated: fall back silently if the relay can't lower int8 convs.
@@ -262,6 +272,7 @@ def main() -> None:
                 "int8_ptq_img_per_s": (
                     round(fps_int8, 1) if fps_int8 is not None else None
                 ),
+                "batch1_latency_p50_ms": round(lat_ms, 2),
                 "train_s_per_step_b20": round(train_s_per_step, 4),
                 "train_s_per_step_single_dispatch": round(train_s_per_step_single, 4),
                 "train_s_per_epoch_3740imgs": round(epoch_s, 1),
