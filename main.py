@@ -45,4 +45,17 @@ def run() -> None:
 
 
 if __name__ == "__main__":
-    run()
+    try:
+        run()
+    except Exception:
+        # crash-only exit: print the error and leave via os._exit so a
+        # wedged TPU-relay RPC (whose thread/destructor would block a
+        # normal interpreter shutdown — observed in production) can never
+        # turn a failed run into a hung one. The supervisor
+        # (tools/train_supervisor.py) relies on the process dying.
+        import traceback
+
+        traceback.print_exc()
+        sys.stdout.flush()
+        sys.stderr.flush()
+        os._exit(13)

@@ -149,18 +149,27 @@ class DeviceTrainer:
         timeout_s = float(getattr(self.cfg, "dispatch_timeout_s", 600.0))
         if timeout_s <= 0:
             return jax.device_get(stats)
-        from concurrent.futures import ThreadPoolExecutor
-        from concurrent.futures import TimeoutError as FutTimeout
+        # a DAEMON thread, not ThreadPoolExecutor: futures' worker threads
+        # are non-daemon and concurrent.futures' atexit hook joins them,
+        # so a wedged readback would block interpreter exit right after
+        # the watchdog fired (observed in production at plus150 epoch
+        # 251: traceback printed, process never exited, supervisor never
+        # got to resume). Daemon threads are abandoned at exit.
+        import queue
+        import threading
 
-        # no `with`: the executor's __exit__ joins its threads, which
-        # would block on the very hang we are guarding against — shut
-        # down without waiting and leak the wedged thread instead
-        pool = ThreadPoolExecutor(max_workers=1)
-        fut = pool.submit(jax.device_get, stats)
+        out: queue.Queue = queue.Queue(maxsize=1)
+
+        def work():
+            try:
+                out.put((True, jax.device_get(stats)))
+            except BaseException as e:  # surface device errors too
+                out.put((False, e))
+
+        threading.Thread(target=work, daemon=True).start()
         try:
-            result = fut.result(timeout=timeout_s)
-        except FutTimeout:
-            pool.shutdown(wait=False)
+            ok, result = out.get(timeout=timeout_s)
+        except queue.Empty:
             raise RuntimeError(
                 f"device readback stalled > {timeout_s:.0f}s at epoch "
                 f"{epoch} — the TPU relay RPC has likely wedged "
@@ -168,7 +177,8 @@ class DeviceTrainer:
                 "process and resume with "
                 f"--resume {self.cfg.save_dir}/state_last"
             ) from None
-        pool.shutdown(wait=False)
+        if not ok:
+            raise result
         return result
 
     def train_epoch(self, epoch: int, loader=None) -> dict[str, float]:
