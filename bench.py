@@ -87,7 +87,9 @@ def main() -> None:
 
     use_bf16 = os.environ.get("SQDT_BENCH_FP32") != "1"
     use_pallas = os.environ.get("SQDT_BENCH_PALLAS") == "1"
+    arch = os.environ.get("SQDT_BENCH_ARCH", "squeezedet")
     spec = ModelSpec(
+        arch=arch,
         num_classes=3,
         anchors_per_grid=9,
         compute_dtype=jnp.bfloat16 if use_bf16 else jnp.float32,
@@ -266,6 +268,7 @@ def main() -> None:
                 "vs_baseline": round(fps / BASELINE_FPS, 2),
                 "compute_dtype": "bf16" if use_bf16 else "fp32",
                 "use_pallas": use_pallas,
+                "arch": arch,
                 "k_per_dispatch": K_DISPATCH,
                 "infer_img_per_s_single_dispatch": round(fps_single, 1),
                 "uint8_serving_img_per_s": round(fps_u8, 1),

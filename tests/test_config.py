@@ -81,3 +81,21 @@ def test_update_dataset_info():
     assert cfg.num_classes == 2
     assert cfg.num_anchors == 60
     assert "num_epochs" in cfg.describe()
+
+
+def test_cli_crash_only_exit_code():
+    """main.py exits rc=13 via os._exit on any unhandled exception so a
+    wedged TPU runtime can never turn a failed run into a hung one (the
+    supervisor depends on the process dying)."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, "main.py"), "train",
+         "--dataset", "no_such_dataset"],
+        capture_output=True, text=True, timeout=240,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"},
+    )
+    assert out.returncode == 13, (out.returncode, out.stderr[-500:])
