@@ -178,6 +178,8 @@ def main() -> None:
     # Gated: fall back silently if the relay can't lower int8 convs.
     fps_int8 = None
     try:
+        if os.environ.get("SQDT_BENCH_SKIP_INT8") == "1":
+            raise RuntimeError("skipped via SQDT_BENCH_SKIP_INT8")
         from squeezedet_tpu.models.quant import (
             calibrate_act_scales,
             forward_int8,
