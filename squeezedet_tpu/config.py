@@ -103,6 +103,8 @@ class Config:
     fast_pipeline: bool = False  # train-time host pipeline stays uint8
     #   (aug + resize on raw bytes, whitening fused on device); trades
     #   sub-LSB quantization noise for ~3x less host work and 4x less H2D
+    max_objects: int = 0  # device_data GT capacity per frame; 0 = auto-size
+    #   from the dataset's observed per-frame maximum (min 16)
 
     # derived (filled by parse/update_dataset_info)
     root_dir: str = ""

@@ -22,7 +22,11 @@ import os
 
 import numpy as np
 
-MAX_OBJECTS = 16
+# Floor for the auto-sized per-frame object capacity: staging pads GT to
+# max(16, observed max) slots so small/synthetic datasets keep a stable
+# cache shape while crowded real-KITTI frames (>16 labeled cars in parking
+# scenes) size the arrays up instead of crashing.
+MIN_OBJECT_SLOTS = 16
 
 
 class StagedArrays:
@@ -44,13 +48,14 @@ def _cache_dir(dataset) -> str:
     return os.path.join(dataset.data_dir, "cache", dataset.phase)
 
 
-def _build(dataset, max_objects: int) -> StagedArrays:
+def _build(dataset, max_objects: int | None) -> StagedArrays:
+    """``max_objects`` None sizes the GT arrays from the dataset's observed
+    per-frame maximum (floored at MIN_OBJECT_SLOTS); an explicit value is a
+    hard capacity and staging fails loudly if any frame exceeds it."""
     n = len(dataset)
     sizes = np.zeros((n, 2), dtype=np.int32)
     raw_images = []
-    boxes = np.zeros((n, max_objects, 4), dtype=np.float32)
-    class_ids = np.zeros((n, max_objects), dtype=np.int32)
-    counts = np.zeros((n,), dtype=np.int32)
+    all_boxes, all_cls = [], []
 
     for i in range(n):
         img, _ = dataset.load_image_uint8(i)
@@ -60,20 +65,34 @@ def _build(dataset, max_objects: int) -> StagedArrays:
         if len(bxs):
             # same clip the host pipeline applies before augmentation
             # (data/base.py preprocess), then drop degenerate boxes
-            bxs = bxs.copy()
+            bxs = np.asarray(bxs, np.float32).copy()
             bxs[:, [0, 2]] = np.clip(bxs[:, [0, 2]], 0.0, img.shape[1] - 1.0)
             bxs[:, [1, 3]] = np.clip(bxs[:, [1, 3]], 0.0, img.shape[0] - 1.0)
             keep = (bxs[:, 0] < bxs[:, 2]) & (bxs[:, 1] < bxs[:, 3])
             bxs, cls = bxs[keep], np.asarray(cls)[keep]
-            if len(bxs) > max_objects:
-                raise ValueError(
-                    f"sample {dataset.sample_ids[i]} has {len(bxs)} objects "
-                    f"> max_objects={max_objects}"
-                )
-            m = len(bxs)
-            boxes[i, :m] = bxs
-            class_ids[i, :m] = cls
-            counts[i] = m
+        else:
+            bxs, cls = np.zeros((0, 4), np.float32), np.zeros((0,), np.int32)
+        all_boxes.append(bxs)
+        all_cls.append(cls)
+
+    observed = max((len(b) for b in all_boxes), default=0)
+    if max_objects is None:
+        max_objects = max(MIN_OBJECT_SLOTS, observed)
+    elif observed > max_objects:
+        i = int(np.argmax([len(b) for b in all_boxes]))
+        raise ValueError(
+            f"sample {dataset.sample_ids[i]} has {observed} objects "
+            f"> max_objects={max_objects}; drop --max_objects to auto-size"
+        )
+
+    boxes = np.zeros((n, max_objects, 4), dtype=np.float32)
+    class_ids = np.zeros((n, max_objects), dtype=np.int32)
+    counts = np.zeros((n,), dtype=np.int32)
+    for i, (bxs, cls) in enumerate(zip(all_boxes, all_cls)):
+        m = len(bxs)
+        boxes[i, :m] = bxs
+        class_ids[i, :m] = cls
+        counts[i] = m
 
     hs, ws = sizes.max(axis=0)
     images = np.zeros((n, hs, ws, 3), dtype=np.uint8)
@@ -85,17 +104,20 @@ def _build(dataset, max_objects: int) -> StagedArrays:
 
 
 def stage_dataset(
-    dataset, max_objects: int = MAX_OBJECTS, use_cache: bool = True
+    dataset, max_objects: int | None = None, use_cache: bool = True
 ) -> StagedArrays:
-    """Build (or load from the .npy cache) the staged arrays for a dataset."""
+    """Build (or load from the .npy cache) the staged arrays for a dataset.
+
+    ``max_objects`` None (the default) auto-sizes GT capacity from the
+    dataset; any cache built from the same sample ids is then reusable
+    (its capacity was proven sufficient when it was written)."""
     cdir = _cache_dir(dataset)
     meta_path = os.path.join(cdir, "meta.json")
     if use_cache and os.path.exists(meta_path):
         with open(meta_path) as fp:
             meta = json.load(fp)
-        if (
-            meta.get("sample_ids") == list(dataset.sample_ids)
-            and meta.get("max_objects") == max_objects
+        if meta.get("sample_ids") == list(dataset.sample_ids) and (
+            max_objects is None or meta.get("max_objects") == max_objects
         ):
             return StagedArrays(
                 np.load(os.path.join(cdir, "images.npy"), mmap_mode="r"),
@@ -118,7 +140,7 @@ def stage_dataset(
             json.dump(
                 {
                     "sample_ids": list(dataset.sample_ids),
-                    "max_objects": max_objects,
+                    "max_objects": int(staged.boxes.shape[1]),
                 },
                 fp,
             )

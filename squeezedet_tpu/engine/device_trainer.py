@@ -25,6 +25,7 @@ from squeezedet_tpu.core.boxes import boxes_postprocess
 from squeezedet_tpu.data.device_data import stage_dataset
 from squeezedet_tpu.parallel.epoch import (
     EpochSpec,
+    locate_sample,
     make_predict_epoch,
     make_train_epoch,
     make_val_epoch,
@@ -79,19 +80,27 @@ class DeviceTrainer:
         )
         self.spec = spec
 
-        # stage + upload BEFORE any execute (tunnel H2D degradation)
-        staged_train = stage_dataset(train_dataset)
+        # stage + upload BEFORE any execute (tunnel H2D degradation);
+        # max_objects 0/unset = auto-size from the dataset (real-KITTI
+        # frames can exceed the old hard 16-object cap)
+        max_objects = getattr(cfg, "max_objects", 0) or None
+        staged_train = stage_dataset(train_dataset, max_objects)
         self.train_data, n_loc_train, hw_train = put_device_data(mesh, staged_train)
         self.val_dataset = val_dataset
         self.val_data = None
         if val_dataset is not None:
-            staged_val = stage_dataset(val_dataset)
-            self.val_data, n_loc_val, hw_val = put_device_data(mesh, staged_val)
-            # eval needs the per-image ids/sizes on host for un-mapping
-            ndev = mesh.size
-            n_use = n_loc_val * ndev
-            self._val_ids = staged_val.sample_ids[:n_use]
-            self._val_sizes = np.asarray(staged_val.sizes[:n_use])
+            staged_val = stage_dataset(val_dataset, max_objects)
+            # pad — never trim — the val set to a full mesh×batch multiple
+            # so every sample id gets a real result file (the reference
+            # evaluates every id; empty placeholders only for no-detection
+            # frames, src/engine/detector.py:33-35)
+            self.val_data, n_loc_val, hw_val = put_device_data(
+                mesh, staged_val, pad_to_batch=cfg.batch_size
+            )
+            self._n_loc_val = n_loc_val
+            self._b_loc = cfg.batch_size // mesh.size
+            self._val_ids = list(staged_val.sample_ids)
+            self._val_sizes = np.asarray(staged_val.sizes)
 
         anchors_np = np.asarray(cfg.anchors, np.float32)
         self.train_epoch_fn, self.train_steps = make_train_epoch(
@@ -136,7 +145,7 @@ class DeviceTrainer:
             print(msg)
         return out
 
-    def _fetch_guarded(self, stats, epoch: int):
+    def _fetch_guarded(self, stats, epoch):
         """D2H readback with a hang watchdog.
 
         Production failure mode (observed epoch 235 of the hard300 run):
@@ -205,21 +214,17 @@ class DeviceTrainer:
     def evaluate_val(self) -> dict[str, float]:
         """Detect the resident val set in one dispatch, write KITTI result
         txts, run the native evaluator (Trainer-mode twin: eval.py)."""
-        dets = jax.device_get(
-            self.predict_epoch_fn(self.state.params, self.val_data)
+        dets = self._fetch_guarded(
+            self.predict_epoch_fn(self.state.params, self.val_data), "eval"
         )
         results = []
-        b = self.cfg.batch_size
         oh, ow = self.spec.out_size
-        n_detected = dets["keep"].shape[0] * dets["keep"].shape[1]
+        # val data is padded to a full mesh×batch multiple at staging, so
+        # every real id maps to a computed slot; the epoch outputs are
+        # device-major within each batch (see locate_sample)
         for i, image_id in enumerate(self._val_ids):
-            step, pos = divmod(i, b)
-            # a batch-remainder tail (i >= n_detected) gets empty results
-            keep = (
-                dets["keep"][step][pos]
-                if i < n_detected
-                else np.zeros((1,), bool)
-            )
+            step, pos = locate_sample(i, self._n_loc_val, self._b_loc)
+            keep = dets["keep"][step][pos]
             h, w = self._val_sizes[i]
             meta = {
                 "image_id": image_id,

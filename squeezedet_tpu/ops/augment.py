@@ -14,7 +14,7 @@ samples falling outside the original image read the RGB-mean pad value
 fill). Because the drifted canvas is a pure integer translation of the
 original, bilinear-resampling it through the composed coordinates is
 arithmetically identical to resizing the materialized canvas — asserted
-against the host pipeline in tests/test_augment_device.py.
+against the host pipeline in tests/test_device_data.py (test_warp_matches_host_pipeline).
 
 The warp is separable (rows then columns): two row-gathers + two
 column-gathers per image instead of a 2-D gather over H*W*4 corners.

@@ -16,8 +16,8 @@ The assignment is sequential greedy with a uniqueness mask, expressed as a
 Per slot this is one masked argmax/argmin over A anchors — at most
 ``max_objects`` (typically 16) scan steps of O(A) work, trivially vmapped
 over the batch. Parity with the host matcher is asserted in
-tests/test_encode_device.py (ties between float IoUs aside, which are
-order-arbitrary in the reference too).
+tests/test_device_data.py (test_encode_device_*; ties between float IoUs
+aside, which are order-arbitrary in the reference too).
 """
 
 from __future__ import annotations

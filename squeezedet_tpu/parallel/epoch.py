@@ -66,26 +66,55 @@ class DeviceData(NamedTuple):
     sizes: jnp.ndarray      # (N, 2) int32
 
 
-def put_device_data(mesh, staged) -> tuple[DeviceData, int, tuple[int, int]]:
-    """Upload staged arrays; returns (data, n_loc, storage_hw). Trims the
-    sample count to a multiple of the mesh size so every device holds an
-    equal shard.
+def put_device_data(
+    mesh, staged, pad_to_batch: int | None = None
+) -> tuple[DeviceData, int, tuple[int, int]]:
+    """Upload staged arrays; returns (data, n_loc, storage_hw).
+
+    Default (train data): trims the sample count down to a multiple of the
+    mesh size so every device holds an equal shard (the <ndev remainder is
+    at most a fraction of one batch; the per-epoch shuffle resamples the
+    shard anyway — reference drop_last semantics, src/train.py:41).
+
+    ``pad_to_batch=batch_size`` (val/eval data): pads the sample count UP
+    to a multiple of batch_size by wrapping around to the first samples, so
+    every real sample is covered by some (step, position) of the epoch
+    programs and none is silently dropped or scored as empty. Callers track
+    the real count themselves (len(staged)); padded tail slots are simply
+    ignored on readback.
 
     Must run before the first execute on the axon tunnel (H2D can degrade
     ~60x once the device has executed — see CLAUDE.md).
     """
     ndev = mesh.size
     n, hs, ws = staged.images.shape[:3]
-    n_use = (n // ndev) * ndev
+    if pad_to_batch is not None:
+        if pad_to_batch % ndev != 0:
+            raise ValueError(
+                f"pad_to_batch {pad_to_batch} not divisible by mesh size {ndev}"
+            )
+        n_use = -(-n // pad_to_batch) * pad_to_batch
+        sel = np.arange(n_use) % n  # wrap-around padding indices
+
+        def take(a):
+            return np.asarray(a)[sel]
+
+    else:
+        n_use = (n // ndev) * ndev
+
+        def take(a):  # slice view — no host copy of the multi-GB images
+            return np.asarray(a[:n_use])
+
     img_sharding = NamedSharding(mesh, P(DATA_AXIS))
     rep = NamedSharding(mesh, P())
-    flat = np.asarray(staged.images[:n_use]).reshape(n_use, -1)
     data = DeviceData(
-        images=jax.device_put(flat, img_sharding),
-        boxes=jax.device_put(staged.boxes[:n_use], rep),
-        class_ids=jax.device_put(staged.class_ids[:n_use], rep),
-        counts=jax.device_put(staged.counts[:n_use], rep),
-        sizes=jax.device_put(staged.sizes[:n_use], rep),
+        images=jax.device_put(
+            take(staged.images).reshape(n_use, -1), img_sharding
+        ),
+        boxes=jax.device_put(take(staged.boxes), rep),
+        class_ids=jax.device_put(take(staged.class_ids), rep),
+        counts=jax.device_put(take(staged.counts), rep),
+        sizes=jax.device_put(take(staged.sizes), rep),
     )
     return data, n_use // ndev, (hs, ws)
 
@@ -160,6 +189,22 @@ def _make_gather(mesh):
     )
 
 
+def locate_sample(i: int, n_loc: int, b_loc: int) -> tuple[int, int]:
+    """Map a GLOBAL sample index to its (step, batch_position) in the
+    sequential val/predict epoch outputs.
+
+    The epoch programs walk each device's local shard in order, so the
+    stacked (steps, B, ...) outputs are device-major within a batch: global
+    sample i lives on device d = i // n_loc at local offset l = i % n_loc,
+    which device d processes at step l // b_loc in its slice of the batch
+    (positions d*b_loc .. d*b_loc+b_loc-1). A naive divmod(i, batch_size)
+    scrambles image identities whenever mesh.size > 1 and steps > 1 —
+    found by the round-2 advisor, regression-tested in
+    tests/test_device_data.py (identity + round-trip tests)."""
+    d, l = divmod(i, n_loc)
+    return l // b_loc, d * b_loc + l % b_loc
+
+
 def _epoch_perm(key, ndev, n_loc, steps, b_loc):
     """(steps, ndev, b_loc) per-device local sample indices for one epoch."""
     perm = jax.vmap(lambda k: jax.random.permutation(k, n_loc))(
@@ -216,8 +261,9 @@ def make_train_epoch(task: TaskSpec, spec: EpochSpec, mesh, anchors_np,
 
 def make_val_epoch(task: TaskSpec, spec: EpochSpec, mesh, anchors_np,
                    n_loc: int, batch_size: int, img_hw: tuple[int, int]):
-    """One dispatch = full val-loss sweep (sequential batches, no aug;
-    remainder smaller than one batch is dropped)."""
+    """One dispatch = full val-loss sweep (sequential batches, no aug).
+    Stage val data with ``put_device_data(..., pad_to_batch=batch_size)``
+    so n_loc is a multiple of b_loc and every sample is covered."""
     ndev = mesh.size
     b_loc = batch_size // ndev
     steps = (n_loc * ndev) // batch_size

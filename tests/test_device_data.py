@@ -12,7 +12,7 @@ from squeezedet_tpu.core.anchors import generate_anchors
 from squeezedet_tpu.core.boxes import xywh_to_xyxy
 from squeezedet_tpu.core.image import drift, flip, resize, whiten
 from squeezedet_tpu.core.matching import encode_annotations
-from squeezedet_tpu.data.device_data import StagedArrays
+from squeezedet_tpu.data.device_data import StagedArrays, stage_dataset
 from squeezedet_tpu.models.squeezedet import ModelSpec, init_params
 from squeezedet_tpu.ops.augment import transform_boxes, warp_batch
 from squeezedet_tpu.ops.encode import _xywh_to_xyxy, encode_annotations_device
@@ -20,6 +20,7 @@ from squeezedet_tpu.parallel.epoch import (
     EpochSpec,
     _make_gather,
     _prep_batch,
+    locate_sample,
     make_predict_epoch,
     make_train_epoch,
     make_val_epoch,
@@ -28,6 +29,7 @@ from squeezedet_tpu.parallel.epoch import (
 from squeezedet_tpu.parallel.mesh import make_mesh, replicate
 from squeezedet_tpu.parallel.train import (
     TaskSpec,
+    _predict_batch,
     init_train_state,
     make_val_step,
 )
@@ -264,3 +266,143 @@ def test_encode_device_collision_stress():
             )
         )
         np.testing.assert_allclose(dev, host, atol=2e-4, err_msg=f"trial {trial}")
+
+
+def test_locate_sample_is_dispatch_order():
+    """Enumerating the epoch programs' actual batch assembly (sequential
+    local indices per device, device-major batch layout) must invert to
+    locate_sample — the round-2 advisor found divmod(i, batch) scrambling
+    image identity on multi-device meshes."""
+    ndev, n_loc, b_loc = 4, 6, 2
+    steps = n_loc // b_loc
+    for step in range(steps):
+        for d in range(ndev):
+            for p in range(b_loc):
+                g = d * n_loc + step * b_loc + p  # global sample here
+                assert locate_sample(g, n_loc, b_loc) == (step, d * b_loc + p)
+    # every global index maps to a unique in-range slot
+    slots = {
+        locate_sample(i, n_loc, b_loc) for i in range(ndev * n_loc)
+    }
+    assert len(slots) == ndev * n_loc
+
+
+def test_put_device_data_pads_to_batch_multiple():
+    """Non-divisible val sets must be padded (wrap-around), never trimmed:
+    13 samples on an 8-device mesh with batch 8 -> 16 resident samples,
+    the 3 padded tail slots repeating samples 0..2."""
+    assert len(jax.devices()) >= 8
+    mesh = make_mesh(8)
+    staged = _staged(13, seed=11)
+    data, n_loc, hw = put_device_data(mesh, staged, pad_to_batch=8)
+    assert n_loc == 2 and int(data.images.shape[0]) == 16
+    imgs = np.asarray(jax.device_get(data.images)).reshape(16, *hw, 3)
+    for pad_i, src_i in [(13, 0), (14, 1), (15, 2)]:
+        np.testing.assert_array_equal(imgs[pad_i], staged.images[src_i])
+        np.testing.assert_array_equal(
+            np.asarray(data.counts)[pad_i], staged.counts[src_i]
+        )
+    # default (train) path still trims
+    data_t, n_loc_t, _ = put_device_data(mesh, staged)
+    assert n_loc_t == 1 and int(data_t.images.shape[0]) == 8
+
+
+def test_device_predict_epoch_identity_multidevice():
+    """Per-image detection identity on a >1-step multi-device predict epoch:
+    every real sample's detections from the epoch dispatch (via
+    locate_sample) must equal a plain single-batch predict of that same
+    image. Guards the exact bug the round-2 advisor verified empirically
+    (scrambled ids whenever mesh.size > 1 and steps > 1)."""
+    assert len(jax.devices()) >= 8
+    mesh = make_mesh(8)
+    task = _task()
+    spec = _spec()
+    n = 35  # not a multiple of batch 16 -> padded to 48: n_loc=6, steps=3
+    staged = _staged(n, seed=13)
+    data, n_loc, hw = put_device_data(mesh, staged, pad_to_batch=16)
+    assert n_loc == 6
+    b_loc = 16 // mesh.size
+    fn, steps = make_predict_epoch(task, spec, mesh, ANCHORS, n_loc, 16, hw)
+    assert steps == 3
+    params = init_params(jax.random.PRNGKey(4), task.model)
+    dets = jax.device_get(fn(replicate(mesh, params), data))
+
+    # reference: the same resize-only preprocessing + predict, one flat
+    # batch of all real images on the default (single) device
+    mean = jnp.asarray(spec.rgb_mean, jnp.float32)
+    std = jnp.asarray(spec.rgb_std, jnp.float32)
+    aug = {
+        "dy": jnp.zeros((n,), jnp.int32),
+        "dx": jnp.zeros((n,), jnp.int32),
+        "flip": jnp.zeros((n,), bool),
+    }
+    images = warp_batch(
+        jnp.asarray(staged.images), jnp.asarray(staged.sizes), aug,
+        spec.out_size, pad_value=mean,
+    )
+    ref = jax.device_get(
+        _predict_batch(params, (images - mean) / std, jnp.asarray(ANCHORS), task)
+    )
+
+    for i in range(n):
+        step, pos = locate_sample(i, n_loc, b_loc)
+        np.testing.assert_array_equal(
+            dets["keep"][step][pos], ref["keep"][i], err_msg=f"sample {i}"
+        )
+        k = ref["keep"][i]
+        np.testing.assert_allclose(
+            dets["scores"][step][pos][k], ref["scores"][i][k],
+            rtol=1e-4, atol=1e-4, err_msg=f"sample {i}",
+        )
+        np.testing.assert_allclose(
+            dets["boxes"][step][pos][k], ref["boxes"][i][k],
+            rtol=1e-3, atol=5e-3, err_msg=f"sample {i}",
+        )
+
+
+class _FakeDataset:
+    """Minimal dataset protocol for stage_dataset (no disk images)."""
+
+    def __init__(self, root, counts_per_frame, hs=40, ws=64):
+        self.data_dir = root
+        self.phase = "train"
+        self.sample_ids = [f"{i:06d}" for i in range(len(counts_per_frame))]
+        self._counts = counts_per_frame
+        self._hw = (hs, ws)
+        rng = np.random.RandomState(0)
+        self._images = rng.randint(
+            0, 255, (len(counts_per_frame), hs, ws, 3), np.uint8
+        )
+
+    def __len__(self):
+        return len(self.sample_ids)
+
+    def load_image_uint8(self, i):
+        return self._images[i], None
+
+    def load_annotations(self, i):
+        m = self._counts[i]
+        rng = np.random.RandomState(100 + i)
+        x1 = rng.uniform(0, self._hw[1] - 10, m)
+        y1 = rng.uniform(0, self._hw[0] - 10, m)
+        boxes = np.stack([x1, y1, x1 + 8, y1 + 8], 1).astype(np.float32)
+        return rng.randint(0, 3, m), boxes
+
+
+def test_stage_auto_max_objects(tmp_path):
+    """A 23-object frame (real-KITTI crowded scenes exceed the old hard
+    16 cap) stages fine with auto sizing, and the cache round-trips."""
+    ds = _FakeDataset(str(tmp_path), [2, 23, 0, 5])
+    staged = stage_dataset(ds)
+    assert staged.boxes.shape[1] == 23
+    assert staged.counts.tolist() == [2, 23, 0, 5]
+    again = stage_dataset(ds)  # cache hit under auto sizing
+    np.testing.assert_array_equal(np.asarray(again.boxes), staged.boxes)
+    # an explicit cap below the observed max still fails loudly
+    with pytest.raises(ValueError, match="23 objects"):
+        stage_dataset(ds, max_objects=16, use_cache=False)
+    # small datasets keep the 16-slot floor (stable cache shapes)
+    small = stage_dataset(
+        _FakeDataset(str(tmp_path / "b"), [1, 3]), use_cache=False
+    )
+    assert small.boxes.shape[1] == 16
