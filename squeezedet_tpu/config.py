@@ -84,15 +84,17 @@ class Config:
     #   identical to k single dispatches. 1 disables.
     profile_dir: str = ""  # jax.profiler trace output ('' = off)
     native_loader: bool = True  # use the C++ image loader when built
-    use_pallas: bool = False  # Pallas kernels for hot ops (else lax path)
     dispatch_timeout_s: float = 600.0  # device-data mode: fail loudly if a
     #   per-epoch device readback stalls this long (wedged relay RPC —
     #   observed in production; resume with --resume <save_dir>/state_last).
     #   0 disables the watchdog.
     serve_int8: bool = False  # int8 PTQ serving (models/quant.py): absmax
     #   calibration on the first batch, s8xs8->s32 convs on the MXU
-    serve_uint8: bool = False  # ship raw uint8 batches; whitening folded
-    #   into the stem conv on device (4x less H2D traffic)
+    serve_uint8: bool = True  # DEFAULT serving path: ship raw uint8
+    #   batches; whitening folded into the stem conv on device (4x less H2D
+    #   traffic; measured faster every round — round-2: 1,646 vs 1,585
+    #   img/s). --no_serve_uint8 restores host-whitened float input (the
+    #   bit-parity path used by the oracle tests).
     cache_images: bool = True  # keep decoded images in RAM (uint8) so each
     #   epoch after the first skips PNG decode (KITTI ~5GB; host has 125GB)
     device_data: bool = False  # stage the whole dataset in HBM and run one
@@ -169,7 +171,6 @@ _FLAG_HELP = {
     "mixed_precision": "bf16 backbone compute (fp32 master weights and loss)",
     "data_parallel": "number of devices for SPMD data parallelism (0 = all)",
     "resume": "orbax train-state checkpoint to resume from (with optimizer)",
-    "use_pallas": "enable Pallas TPU kernels for hot ops",
 }
 
 

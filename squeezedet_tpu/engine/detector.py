@@ -30,20 +30,23 @@ class Detector:
         self.cfg = cfg
         self.anchors = jnp.asarray(cfg.anchors)
         self.predict = make_predict_step(task)
-        self.serve_uint8 = bool(getattr(cfg, "serve_uint8", False))
+        self.serve_uint8 = bool(getattr(cfg, "serve_uint8", True))
         self.serve_int8 = bool(getattr(cfg, "serve_int8", False))
         if self.serve_uint8 and self.serve_int8:
-            raise ValueError(
-                "serve_uint8 and serve_int8 are mutually exclusive (int8 "
-                "quantizes whitened float inputs)"
-            )
-        if self.serve_uint8:
-            # uint8 serving: whitening folded into the stem conv; batches
-            # ship raw (4x less H2D) and are cast to compute dtype on device
+            # int8 quantizes whitened float inputs, so it overrides the
+            # (default-on) uint8 ingest rather than conflicting with it
+            print("[detector] serve_int8 set: uint8 ingest disabled")
+            self.serve_uint8 = False
+        self.params = params
+        # uint8 serving (the default path): whitening folded into the stem
+        # conv; batches ship raw (4x less H2D) and cast to compute dtype on
+        # device. Both param sets are kept and detect() dispatches on the
+        # batch dtype, so callers that pre-whiten (demo.py) keep working.
+        self._params_u8 = None
+        if not self.serve_int8:
             from squeezedet_tpu.models.squeezedet import fold_whitening
 
-            params = fold_whitening(params, cfg.rgb_mean, cfg.rgb_std)
-        self.params = params
+            self._params_u8 = fold_whitening(params, cfg.rgb_mean, cfg.rgb_std)
         self.qparams = None  # int8: calibrated lazily on the first batch
         if self.serve_int8:
             from squeezedet_tpu.models.quant import forward_int8
@@ -78,6 +81,10 @@ class Detector:
                     self.params, self.task.model, scales
                 )
             return self._predict_int8(self.qparams, images, self.anchors)
+        if images.dtype == jnp.uint8:
+            if self._params_u8 is None:
+                raise ValueError("uint8 batch but folded params unavailable")
+            return self.predict(self._params_u8, images, self.anchors)
         return self.predict(self.params, images, self.anchors)
 
     def detect(self, batch: dict[str, Any]) -> list[dict[str, Any]]:

@@ -90,7 +90,6 @@ class ModelSpec:
     anchors_per_grid: int = 9
     dropout_prob: float = 0.5
     compute_dtype: Any = jnp.float32
-    use_pallas: bool = False  # fused Fire kernels (TPU only)
     init_scheme: str = "reference"  # 'reference' (gaussian .005/.002, for
     #   fine-tuning parity) | 'he' (fan-in scaled, for from-scratch training
     #   — the reference init leaves a 12-layer net nearly dead at random
@@ -225,29 +224,21 @@ def _maxpool_ceil(x):
     return _maxpool_ceil_primal(x)
 
 
-def _fire(x, p, dtype, use_pallas=False):
+def _fire(x, p, dtype):
     """Squeeze 1x1 -> ReLU -> parallel expand 1x1 & 3x3 -> ReLU -> concat.
 
     Parity: reference src/model/squeezedet.py:9-23. The concat order
     (expand1x1 first) determines channel layout and must match checkpoints.
-    With ``use_pallas`` the whole module runs as one fused Pallas kernel
-    (squeeze activation stays in VMEM; see ops/pallas/fire.py) — but only
-    at large spatial sizes, where it measures faster than XLA's convs
-    (96x312 fires: 4.4 vs 5.0 ms; at 24x78 the per-tile DMA overhead loses,
-    3.0 vs 1.8 ms — measured on v5e, see EVIDENCE.md).
-    """
-    if use_pallas and x.shape[1] * x.shape[2] >= 96 * 312:
-        from squeezedet_tpu.ops.pallas.fire import fire_fused
 
-        return fire_fused(
-            x.astype(dtype),
-            p["squeeze"]["w"].astype(dtype),
-            p["squeeze"]["b"].astype(dtype),
-            p["expand1"]["w"].astype(dtype),
-            p["expand1"]["b"].astype(dtype),
-            p["expand3"]["w"].astype(dtype),
-            p["expand3"]["b"].astype(dtype),
-        )
+    A fused Pallas twin (ops/pallas/fire.py, squeeze activation pinned in
+    VMEM) was measured END-TO-END in round 3 and retired: it loses on both
+    arches at KITTI shapes (squeezedetplus predict 25.8 vs 23.4 ms/batch-20,
+    squeezedet 13.5 vs 10.1; train 89.4 vs 82.0 / 41.6 vs 37.6 ms) because
+    the custom-call boundary blocks XLA's conv/pool fusion around it even
+    where the kernel wins standalone (96x312: 4.4 vs 5.0 ms). Measurements
+    in EVIDENCE.md; the kernel + its parity tests remain as the reference
+    Pallas implementation.
+    """
     s = jax.nn.relu(_conv(x, p["squeeze"], dtype=dtype))
     e1 = jax.nn.relu(_conv(s, p["expand1"], dtype=dtype))
     e3 = jax.nn.relu(_conv(s, p["expand3"], pad=1, dtype=dtype))
@@ -283,7 +274,7 @@ def forward(
         if item == "pool":
             x = _maxpool_ceil(x)
         else:
-            x = _fire(x, params[f"fire{fire_i}"], dtype, spec.use_pallas)
+            x = _fire(x, params[f"fire{fire_i}"], dtype)
             fire_i += 1
 
     if training and spec.dropout_prob > 0:
@@ -300,6 +291,108 @@ def forward(
 
 def count_params(params: Params) -> int:
     return sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+
+
+def arch_flops(spec: ModelSpec, input_size: tuple[int, int], batch: int = 1) -> int:
+    """Analytic conv FLOPs (2·MACs) of one forward pass — the numerator of
+    the MFU estimate reported by bench.py. Pools/ReLU/bias are ignored
+    (<1% of conv FLOPs at these shapes)."""
+    arch = ARCH_SPECS[spec.arch]
+    stem = arch["stem"]
+    h = -(-input_size[0] // stem["stride"])
+    w = -(-input_size[1] // stem["stride"])
+    flops = 2 * h * w * stem["out"] * stem["kernel"] ** 2 * 3
+    for item in arch["body"]:
+        if item == "pool":
+            h, w = _pool_geometry(h, w)[:2]
+        else:
+            _, cin, sq, e1, e3 = item
+            flops += 2 * h * w * (cin * sq + sq * e1 + 9 * sq * e3)
+    flops += 2 * h * w * 9 * arch["out_channels"] * spec.head_channels
+    return flops * batch
+
+
+def _round_up(x: int, r: int) -> int:
+    return -(-x // r) * r
+
+
+def register_padded_arch(base_arch: str, round_to: int) -> str:
+    """Create (and register in ARCH_SPECS) a channel-padded twin of
+    ``base_arch`` with every internal squeeze/expand/stem width rounded up
+    to a multiple of ``round_to``.
+
+    Zero-padding channel dims is arithmetically EXACT: padded output
+    channels carry zero weights+bias (ReLU(0)=0) and padded input channels
+    meet zero weight rows, so the real channels' values are bit-identical
+    (zeros contribute exactly 0 to every MXU accumulation). Built for the
+    round-3 MFU measurement (VERDICT #2): SqueezeNet's narrow channels
+    underuse the 128-lane MXU; this makes the aligned variant measurable
+    with the existing forward/oracle parity tests as the parity story.
+    The input (3ch) and head output (A*(C+5)) are never padded."""
+    name = f"{base_arch}_pad{round_to}"
+    if name in ARCH_SPECS:
+        return name
+    spec = ARCH_SPECS[base_arch]
+    stem = dict(spec["stem"])
+    stem["out"] = _round_up(stem["out"], round_to)
+    body: list = []
+    prev_out = stem["out"]
+    for item in spec["body"]:
+        if item == "pool":
+            body.append("pool")
+            continue
+        _, _, sq, e1, e3 = item
+        sq_p, e1_p, e3_p = (
+            _round_up(sq, round_to),
+            _round_up(e1, round_to),
+            _round_up(e3, round_to),
+        )
+        body.append(("fire", prev_out, sq_p, e1_p, e3_p))
+        prev_out = e1_p + e3_p
+    ARCH_SPECS[name] = {"stem": stem, "body": body, "out_channels": prev_out}
+    return name
+
+
+def pad_params_to_arch(params: Params, base_arch: str, padded_arch: str) -> Params:
+    """Scatter ``base_arch`` weights into a ``padded_arch``-shaped pytree
+    (see :func:`register_padded_arch`). The fire concat layout means the
+    original input channel j of a post-concat consumer maps to j (j < E1)
+    or E1_padded + (j - E1) (j >= E1) in the padded tensor."""
+    base = ARCH_SPECS[base_arch]
+    padded = ARCH_SPECS[padded_arch]
+
+    def pad_conv(p, in_map, cin_p, cout_p):
+        kh, kw, _, cout = p["w"].shape
+        w = jnp.zeros((kh, kw, cin_p, cout_p), p["w"].dtype)
+        w = w.at[:, :, jnp.asarray(in_map), :cout].set(p["w"])
+        b = jnp.zeros((cout_p,), p["b"].dtype).at[:cout].set(p["b"])
+        return {"w": w, "b": b}
+
+    out: Params = {
+        "stem": pad_conv(params["stem"], [0, 1, 2], 3, padded["stem"]["out"])
+    }
+    in_map = list(range(base["stem"]["out"]))  # stem out: identity map
+    fire_i = 0
+    for item, item_p in zip(base["body"], padded["body"]):
+        if item == "pool":
+            continue
+        _, _, sq, e1, e3 = item
+        _, cin_p, sq_p, e1_p, e3_p = item_p
+        p = params[f"fire{fire_i}"]
+        out[f"fire{fire_i}"] = {
+            "squeeze": pad_conv(p["squeeze"], in_map, cin_p, sq_p),
+            "expand1": pad_conv(p["expand1"], list(range(sq)), sq_p, e1_p),
+            "expand3": pad_conv(p["expand3"], list(range(sq)), sq_p, e3_p),
+        }
+        in_map = list(range(e1)) + [e1_p + j for j in range(e3)]
+        fire_i += 1
+    out["convdet"] = pad_conv(
+        params["convdet"],
+        in_map,
+        padded["out_channels"],
+        params["convdet"]["w"].shape[3],
+    )
+    return out
 
 
 def fold_whitening(params: Params, rgb_mean, rgb_std) -> Params:

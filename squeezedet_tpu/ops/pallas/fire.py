@@ -19,6 +19,14 @@ XLA autodiff of the reference lax implementation, so training can use the
 fused forward without a hand-written backward kernel.
 
 All matmuls set preferred_element_type=float32 (MXU accumulation).
+
+STATUS — retired from the model (round 3). Standalone it beats XLA at
+96x312 (4.4 vs 5.0 ms), but end-to-end it LOSES on both architectures
+(squeezedetplus predict 25.8 vs 23.4 ms/batch-20, squeezedet 13.5 vs
+10.1; train 89.4 vs 82.0 / 41.6 vs 37.6 ms — EVIDENCE.md): the
+custom-call boundary blocks XLA's conv/pool fusion around the kernel.
+Kept, parity-tested (tests/test_pallas_fire.py), as the repo's reference
+Pallas kernel and the starting point if shapes ever change the verdict.
 """
 
 from __future__ import annotations

@@ -40,7 +40,6 @@ def build_task(cfg) -> TaskSpec:
         anchors_per_grid=cfg.anchors_per_grid,
         dropout_prob=cfg.dropout_prob,
         compute_dtype=jnp.bfloat16 if cfg.mixed_precision else jnp.float32,
-        use_pallas=cfg.use_pallas,
         init_scheme=getattr(cfg, "init_scheme", "reference"),
     )
     return TaskSpec(

@@ -141,3 +141,37 @@ def test_bf16_compute_close_to_fp32():
     assert out16.dtype == np.float32  # head always returns fp32
     # loose tolerance: bf16 has ~3 decimal digits
     np.testing.assert_allclose(out16, out32, rtol=0.2, atol=0.05)
+
+
+def test_channel_padded_arch_is_exact():
+    """Zero-channel-padding (models/squeezedet.register_padded_arch) is an
+    arithmetically exact transform: the padded twin must reproduce the base
+    forward bit-for-bit at fp32. Built for the round-3 MFU measurement —
+    padding was measured SLOWER on v5e (see EVIDENCE.md) and retired as a
+    default, but the transform + this parity gate remain the audit trail."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from squeezedet_tpu.models.squeezedet import (
+        ModelSpec,
+        forward,
+        init_params,
+        pad_params_to_arch,
+        register_padded_arch,
+    )
+
+    rng = np.random.default_rng(11)
+    imgs = jnp.asarray(rng.normal(size=(2, 96, 160, 3)).astype(np.float32))
+    for arch in ("squeezedet", "squeezedetplus"):
+        spec = ModelSpec(arch=arch, num_classes=3, anchors_per_grid=3,
+                         dropout_prob=0.0)
+        params = init_params(jax.random.PRNGKey(3), spec)
+        base = forward(params, imgs, spec)
+        name = register_padded_arch(arch, 64)
+        pspec = ModelSpec(arch=name, num_classes=3, anchors_per_grid=3,
+                          dropout_prob=0.0)
+        out = forward(pad_params_to_arch(params, arch, name), imgs, pspec)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(base), rtol=1e-6, atol=1e-6
+        )

@@ -76,22 +76,3 @@ def test_fire_fused_gradients_match_lax():
     g_lax = jax.grad(loss_lax, argnums=tuple(range(7)))(*args)
     for a, b in zip(g_fused, g_lax):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4)
-
-
-def test_adaptive_policy_by_spatial_size():
-    """use_pallas engages only at large spatial sizes (where it beats XLA
-    convs on TPU); small grids keep the lax path."""
-    from squeezedet_tpu.models.squeezedet import ModelSpec, forward, init_params
-
-    spec = ModelSpec(compute_dtype=jnp.float32, use_pallas=True, dropout_prob=0.0)
-    params = init_params(jax.random.PRNGKey(0), spec)
-
-    big = jax.make_jaxpr(lambda p, x: forward(p, x, spec))(
-        params, jnp.zeros((1, 384, 1248, 3))
-    )
-    assert str(big).count("pallas_call") == 2  # the two 96x312 fires
-
-    small = jax.make_jaxpr(lambda p, x: forward(p, x, spec))(
-        params, jnp.zeros((1, 96, 160, 3))
-    )
-    assert "pallas_call" not in str(small)

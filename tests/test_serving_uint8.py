@@ -29,7 +29,7 @@ def _cfg(tmp_path, **overrides):
 def test_uint8_serving_matches_float_path(tmp_path):
     _make_kitti_tree(str(tmp_path / "data"))
 
-    cfg_f = _cfg(tmp_path)
+    cfg_f = _cfg(tmp_path, serve_uint8=False)  # uint8 is the default now
     ds = TinyKITTI("val", cfg_f)
     cfg_f.update_dataset_info(ds)
     task = build_task(cfg_f)

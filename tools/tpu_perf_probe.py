@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""On-TPU perf/correctness probe: lax vs pallas Fire, fp32 vs bf16 predict
+"""On-TPU perf/correctness probe: fp32 vs bf16 predict
 and train steps, with per-iteration D2H readback (tunnel-safe timing).
 
 Run from the repo root with the default (axon) backend:
@@ -54,14 +54,13 @@ def main():
     )
 
     results = {}
-    variants = [("fp32", jnp.float32, False), ("bf16", jnp.bfloat16, False),
-                ("bf16+pallas", jnp.bfloat16, True), ("fp32+pallas", jnp.float32, True)]
+    variants = [("fp32", jnp.float32), ("bf16", jnp.bfloat16)]
     if quick:
-        variants = variants[:2]
+        variants = variants[:1]
 
     ref_pred = None
-    for name, dtype, pallas in variants:
-        spec = ModelSpec(compute_dtype=dtype, use_pallas=pallas)
+    for name, dtype in variants:
+        spec = ModelSpec(compute_dtype=dtype)
         task = TaskSpec(model=spec, input_size=(384, 1248), num_anchors=16848)
         params = init_params(jax.random.PRNGKey(0), spec)
         predict = make_predict_step(task)
