@@ -321,3 +321,56 @@ def test_coco_train_eval_cycle(tmp_path, monkeypatch):
     logs = [d for d in os.listdir(cfg.save_dir) if d.startswith("logs_")]
     content = open(os.path.join(cfg.save_dir, logs[0], "log.txt")).read()
     assert "mAP" in content and "AP50" in content
+
+
+def test_kitti_to_coco_converter(tmp_path):
+    """tools/kitti_to_coco.py: KITTI tree -> COCO layout readable by the
+    COCO dataset class; DontCare becomes iscrowd."""
+    from tests.test_e2e import _make_kitti_tree
+    from tools.kitti_to_coco import main as convert
+
+    _make_kitti_tree(str(tmp_path / "data"))
+    # add a DontCare region to the first label file
+    with open(
+        tmp_path / "data" / "kitti" / "training" / "label_2" / "000000.txt",
+        "a",
+    ) as fp:
+        fp.write("DontCare -1 -1 -10 0.00 0.00 30.00 30.00 -1 -1 -1 -1000 -1000 -1000 -10\n")
+    assert convert([str(tmp_path / "data"), str(tmp_path / "converted")]) == 0
+
+    gt = json.load(
+        open(tmp_path / "converted" / "coco" / "annotations" / "instances_train.json")
+    )
+    assert len(gt["images"]) == 4
+    assert gt["images"][0]["width"] == 600 and gt["images"][0]["height"] == 200
+    crowd = [a for a in gt["annotations"] if a["iscrowd"]]
+    assert len(crowd) == 1
+    # 4 images x (Car + Pedestrian) + 1 DontCare
+    assert len(gt["annotations"]) == 9
+
+    cfg = _cfg(tmp_path)
+    cfg.data_dir = str(tmp_path / "converted")
+    ds = TinyCOCO("train", cfg)
+    assert ds.class_names == ("Car", "Pedestrian", "Cyclist")
+    cls, boxes = ds.load_annotations(0)
+    assert len(cls) == 2  # DontCare (crowd) excluded from training GT
+    item = ds[0]
+    assert item["image"].shape == (96, 160, 3)
+
+
+def test_coco_device_data_train_eval(tmp_path, monkeypatch):
+    """--device_data works for COCO too: staging, HBM-resident epochs,
+    device predict sweep -> detections JSON -> evaluator twin."""
+    _make_coco_tree(str(tmp_path / "data"), n_images=5)
+    cfg = _cfg(tmp_path, device_data=True, score_thresh=0.02)
+
+    import squeezedet_tpu.train as train_mod
+
+    monkeypatch.setattr(train_mod, "load_dataset", lambda name: TinyCOCO)
+    train_mod.train(cfg)
+
+    dets_json = os.path.join(cfg.save_dir, "results", "detections_val.json")
+    assert os.path.exists(dets_json)
+    logs = [d for d in os.listdir(cfg.save_dir) if d.startswith("logs_")]
+    content = open(os.path.join(cfg.save_dir, logs[0], "log.txt")).read()
+    assert "AP50" in content and "mAP" in content
