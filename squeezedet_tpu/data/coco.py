@@ -181,6 +181,11 @@ class COCO(BaseDataset):
         return os.path.join(self.results_dir, f"detections_{self.split}.json")
 
     def evaluate(self) -> dict[str, float]:
+        """Score the written detections JSON. Note COCO AP integrates the
+        full precision-recall curve, so the usual COCO practice is a very
+        low serving threshold (--score_thresh 0.01) with the evaluator's
+        own maxDets=100 cap doing the limiting; the KITTI-default 0.3
+        threshold underestimates AP by cutting the low-recall tail."""
         from squeezedet_tpu.utils.coco_eval import evaluate_coco_files
 
         with open(self._detections_path()) as fp:

@@ -331,3 +331,33 @@ def test_two_process_sharded_train_step_matches_single_process(tmp_path):
         np.testing.assert_allclose(
             got[k], ref, rtol=1e-5, atol=1e-6, err_msg=k
         )
+
+
+def test_spatial_sharded_predict_matches_single_device():
+    """Height-axis (context-parallel analog) sharding: the same predict
+    program with the image H dim split over 8 devices must equal the
+    single-device output — XLA inserts the conv/pool halo exchanges
+    (parallel/spatial.py; SURVEY §5 'spatial sharding' plan, now real)."""
+    assert len(jax.devices()) >= 8
+    task = _task()
+    params = init_params(jax.random.PRNGKey(0), task.model)
+    images, _ = _batch(2, seed=3)
+    anchors = jnp.asarray(ANCHORS)
+
+    ref = make_predict_step(task)(params, jnp.asarray(images), anchors)
+
+    from squeezedet_tpu.parallel.spatial import (
+        height_sharding,
+        make_spatial_predict_step,
+    )
+
+    mesh = make_mesh(8)
+    pred = make_spatial_predict_step(task, mesh)
+    out = pred(
+        params, jax.device_put(jnp.asarray(images), height_sharding(mesh)),
+        anchors,
+    )
+    for key in ("keep", "class_ids", "scores", "boxes"):
+        np.testing.assert_allclose(
+            np.asarray(out[key]), np.asarray(ref[key]), rtol=1e-4, atol=1e-4
+        )
