@@ -406,3 +406,62 @@ def test_stage_auto_max_objects(tmp_path):
         _FakeDataset(str(tmp_path / "b"), [1, 3]), use_cache=False
     )
     assert small.boxes.shape[1] == 16
+
+
+def test_device_data_mixed_image_sizes():
+    """Real KITTI mixes frame sizes (370-376 x 1224-1242); staging pads
+    every image to the max extent and the device warp reads only the
+    valid (H, W) region per sample. A mixed-size staged set must produce
+    the same per-image detections as warping each image individually."""
+    assert len(jax.devices()) >= 8
+    mesh = make_mesh(8)
+    task = _task()
+    spec = _spec()
+    rng = np.random.RandomState(21)
+    n = 8
+    hs_max, ws_max = 90, 150
+    images = np.zeros((n, hs_max, ws_max, 3), np.uint8)
+    sizes = np.zeros((n, 2), np.int32)
+    for i in range(n):
+        h = int(rng.randint(70, hs_max + 1))
+        w = int(rng.randint(120, ws_max + 1))
+        images[i, :h, :w] = rng.randint(0, 256, (h, w, 3))
+        sizes[i] = (h, w)
+    staged = StagedArrays(
+        images=images,
+        boxes=np.zeros((n, 4, 4), np.float32),
+        class_ids=np.zeros((n, 4), np.int32),
+        counts=np.zeros((n,), np.int32),
+        sizes=sizes,
+        sample_ids=[f"{i:06d}" for i in range(n)],
+    )
+    data, n_loc, hw = put_device_data(mesh, staged, pad_to_batch=8)
+    fn, steps = make_predict_epoch(task, spec, mesh, ANCHORS, n_loc, 8, hw)
+    params = init_params(jax.random.PRNGKey(6), task.model)
+    dets = jax.device_get(fn(replicate(mesh, params), data))
+
+    mean = jnp.asarray(spec.rgb_mean, jnp.float32)
+    std = jnp.asarray(spec.rgb_std, jnp.float32)
+    aug = {
+        "dy": jnp.zeros((n,), jnp.int32),
+        "dx": jnp.zeros((n,), jnp.int32),
+        "flip": jnp.zeros((n,), bool),
+    }
+    warped = warp_batch(
+        jnp.asarray(images), jnp.asarray(sizes), aug, spec.out_size,
+        pad_value=mean,
+    )
+    ref = jax.device_get(
+        _predict_batch(params, (warped - mean) / std, jnp.asarray(ANCHORS), task)
+    )
+    b_loc = 8 // mesh.size
+    for i in range(n):
+        step, pos = locate_sample(i, n_loc, b_loc)
+        np.testing.assert_array_equal(
+            dets["keep"][step][pos], ref["keep"][i], err_msg=f"sample {i}"
+        )
+        k = ref["keep"][i]
+        np.testing.assert_allclose(
+            dets["scores"][step][pos][k], ref["scores"][i][k],
+            rtol=1e-4, atol=1e-4, err_msg=f"sample {i}",
+        )
