@@ -44,7 +44,15 @@ ITERS = 60
 # dispatch through the axon tunnel costs ~28ms/call; a deep in-flight
 # window keeps the chip fed (device time is ~12ms/batch)
 IN_FLIGHT = 16
-K_DISPATCH = 4  # batches/steps fused per dispatch (lax.scan)
+K_DISPATCH = int(os.environ.get("SQDT_BENCH_K", "4"))  # batches/steps
+#   fused per dispatch (lax.scan); deeper k amortizes the tunnel RTT
+#   further at the cost of per-dispatch latency
+if not 1 <= K_DISPATCH <= ITERS:
+    print(
+        f"[bench] SQDT_BENCH_K={K_DISPATCH} outside [1, {ITERS}]; using 4",
+        file=sys.stderr,
+    )
+    K_DISPATCH = 4
 
 
 def _ensure_backend() -> None:
@@ -91,10 +99,7 @@ def main() -> None:
         make_train_step_multi,
     )
 
-    from jax import lax
-
     from squeezedet_tpu.models.squeezedet import arch_flops
-    from squeezedet_tpu.parallel.train import _predict_batch
 
     use_bf16 = os.environ.get("SQDT_BENCH_FP32") != "1"
     arch = os.environ.get("SQDT_BENCH_ARCH", "squeezedet")
@@ -142,7 +147,7 @@ def main() -> None:
     predict_k = make_predict_step_multi(task)
 
     def throughput_multi(batches, p):
-        group = tuple(batches)
+        group = tuple(batches[i % len(batches)] for i in range(K_DISPATCH))
         drain(predict_k(p, group, anchors))  # compile
         window: collections.deque = collections.deque()
         iters = ITERS // K_DISPATCH
@@ -173,44 +178,33 @@ def main() -> None:
     fps_u8 = max(throughput(u8_batches, folded), throughput_multi(u8_batches, folded))
 
     # device step time + MFU via an N-iteration scan in ONE dispatch (serial
-    # carry defeats hoisting; tunnel RTT measured separately and subtracted
-    # — see tools/mfu_probe.py; naive per-call timing is RTT-dominated)
-    PEAK_BF16 = 197e12  # v5e per-chip bf16 peak FLOP/s
-    trivial = jax.jit(lambda x: x + 1.0)
-    float(trivial(jnp.float32(0.0)))
-    t0 = time.perf_counter()
-    for _ in range(10):
-        float(trivial(jnp.float32(0.0)))
-    rtt_s = (time.perf_counter() - t0) / 10
+    # carry defeats hoisting; tunnel RTT measured separately and subtracted;
+    # shared harness with tools/mfu_probe.py)
+    from squeezedet_tpu.utils.devtime import (
+        PEAK_BF16,
+        measure_rtt,
+        scan_predict_ms,
+    )
+
+    rtt_s = measure_rtt()
 
     def device_step_ms(batch_images, n=40):
-        @jax.jit
-        def run_n(p, images):
-            def body(carry, _):
-                pc = jax.tree.map(lambda w: w + carry, p)
-                out = _predict_batch(pc, images, anchors, task)
-                return jnp.minimum(jnp.min(out["scores"]), 0.0) * 1e-30, ()
-
-            carry, _ = lax.scan(body, jnp.float32(0.0), None, length=n)
-            return carry
-
-        float(run_n(params, batch_images))  # compile
-        best = 1e9
-        for _ in range(2):
-            t0 = time.perf_counter()
-            float(run_n(params, batch_images))
-            best = min(best, time.perf_counter() - t0)
-        return (best - rtt_s) / n * 1e3
+        return scan_predict_ms(
+            params, batch_images, anchors, task, n=n, rtt=rtt_s
+        )
 
     flops_b20 = arch_flops(spec, INPUT_SIZE, BATCH)
     dev_ms_b20 = device_step_ms(device_batches[0])
     mfu_b20 = flops_b20 / (dev_ms_b20 / 1e3) / PEAK_BF16
     # large-batch device ceiling: the MXU fills up with more spatial work
-    # per dispatch (measured round 3: b128 reaches ~25% MFU vs ~11% at b20)
+    # per dispatch (measured round 3: b128 reaches ~25% MFU vs ~11% at b20).
+    # Generated ON device — a 735 MB host upload mid-bench is exactly the
+    # condition under which the relay's H2D degrades (CLAUDE.md pathology).
     B_BIG = 128
-    big = jax.device_put(
-        rng.normal(size=(B_BIG, *INPUT_SIZE, 3)).astype(np.float32)
-    )
+    big = jax.jit(
+        lambda k: jax.random.normal(k, (B_BIG, *INPUT_SIZE, 3), jnp.float32)
+    )(jax.random.PRNGKey(2))
+    big.block_until_ready()
     dev_ms_big = device_step_ms(big, n=15)
     mfu_big = arch_flops(spec, INPUT_SIZE, B_BIG) / (dev_ms_big / 1e3) / PEAK_BF16
     del big
@@ -304,7 +298,7 @@ def main() -> None:
     # fused-k training dispatch (the default train path,
     # --steps_per_dispatch): one tunnel RTT per K_DISPATCH optimizer steps
     step_k = make_train_step_multi(task)
-    imgs_k = tuple(device_batches)
+    imgs_k = tuple(device_batches[i % 4] for i in range(K_DISPATCH))
     gts_k = tuple(gt_j for _ in range(K_DISPATCH))
     state, stats_k = step_k(state, imgs_k, gts_k, anchors, 0.01, key)
     np.asarray(stats_k["loss"])  # compile + sync
@@ -321,10 +315,11 @@ def main() -> None:
             {
                 "metric": "kitti_1248x384_batch20_infer_throughput_per_chip",
                 # headline = the default serving path (uint8 ingest + folded
-                # whitening, k-fused dispatch); float-input path in extras
-                "value": round(max(fps_u8, fps), 1),
+                # whitening, k-fused dispatch), NOT a max over paths — one
+                # reproducible configuration; float-input path in extras
+                "value": round(fps_u8, 1),
                 "unit": "img/s",
-                "vs_baseline": round(max(fps_u8, fps) / BASELINE_FPS, 2),
+                "vs_baseline": round(fps_u8 / BASELINE_FPS, 2),
                 "device_ms_per_batch_b20": round(dev_ms_b20, 2),
                 "mfu_pct_b20": round(mfu_b20 * 100, 1),
                 "device_img_per_s_b128": round(B_BIG / (dev_ms_big / 1e3), 1),
@@ -335,6 +330,7 @@ def main() -> None:
                 "arch": arch,
                 "k_per_dispatch": K_DISPATCH,
                 "infer_img_per_s_single_dispatch": round(fps_single, 1),
+                "float_serving_img_per_s": round(fps, 1),
                 "uint8_serving_img_per_s": round(fps_u8, 1),
                 "int8_ptq_img_per_s": (
                     round(fps_int8, 1) if fps_int8 is not None else None

@@ -144,6 +144,19 @@ class Config:
         self.anchors = dataset.anchors
         self.anchors_per_grid = dataset.anchors_per_grid
         self.num_anchors = dataset.num_anchors
+        # protocol-appropriate serving threshold: COCO AP integrates the
+        # full PR curve, so the KITTI-style default 0.3 would cut the
+        # low-recall tail and depress AP; a dataset may declare its own
+        # default, applied only when the user left the config default
+        ds_thresh = getattr(dataset, "default_score_thresh", None)
+        field_default = type(self).__dataclass_fields__["score_thresh"].default
+        if ds_thresh is not None and self.score_thresh == field_default:
+            print(
+                f"[config] score_thresh {self.score_thresh} -> {ds_thresh} "
+                f"({type(dataset).__name__} protocol default; pass "
+                "--score_thresh explicitly to override)"
+            )
+            self.score_thresh = ds_thresh
         return self
 
     def describe(self) -> str:

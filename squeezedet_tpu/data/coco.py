@@ -60,6 +60,12 @@ COCO_ANCHOR_SEEDS = np.array(
 
 
 class COCO(BaseDataset):
+    # COCO AP integrates the full PR curve: serve nearly everything and let
+    # the evaluator's maxDets=100 cap do the limiting (pycocotools
+    # practice). Applied by Config.update_dataset_info unless the user
+    # passed --score_thresh explicitly.
+    default_score_thresh = 0.01
+
     def __init__(self, phase: str, cfg):
         super().__init__(phase, cfg)
         self.input_size = COCO_INPUT_SIZE
@@ -185,8 +191,17 @@ class COCO(BaseDataset):
         full precision-recall curve, so the usual COCO practice is a very
         low serving threshold (--score_thresh 0.01) with the evaluator's
         own maxDets=100 cap doing the limiting; the KITTI-default 0.3
-        threshold underestimates AP by cutting the low-recall tail."""
+        threshold underestimates AP by cutting the low-recall tail
+        (update_dataset_info applies default_score_thresh=0.01 unless the
+        user overrode it — warn if a high threshold is in effect)."""
         from squeezedet_tpu.utils.coco_eval import evaluate_coco_files
+
+        thresh = float(getattr(self.cfg, "score_thresh", 0.0))
+        if thresh > 0.05:
+            print(
+                f"[coco] score_thresh={thresh:g} cuts the PR-curve tail; "
+                "COCO AP will be underestimated (use --score_thresh 0.01)"
+            )
 
         with open(self._detections_path()) as fp:
             dets = json.load(fp)

@@ -108,7 +108,8 @@ class DeviceTrainer:
         )
         if val_dataset is not None:
             self.val_epoch_fn, self.val_steps = make_val_epoch(
-                task, spec, mesh, anchors_np, n_loc_val, cfg.batch_size, hw_val
+                task, spec, mesh, anchors_np, n_loc_val, cfg.batch_size,
+                hw_val, n_valid=len(self._val_ids),
             )
             self.predict_epoch_fn, _ = make_predict_epoch(
                 task, spec, mesh, anchors_np, n_loc_val, cfg.batch_size, hw_val
@@ -125,7 +126,9 @@ class DeviceTrainer:
     def learning_rate(self, epoch: int) -> float:
         return stepLR(self.cfg.lr, epoch)
 
-    def _summarize(self, stats, phase, epoch, minutes):
+    def _summarize(self, stats, phase, epoch, minutes, weights=None):
+        """``weights``: optional per-step real-sample counts (val path) so
+        wrap-padded steps don't bias the epoch mean."""
         host = {m: np.asarray(stats[m]) for m in self.metrics}
         if not np.all(np.isfinite(host["loss"])):
             bad = int(np.argmax(~np.isfinite(host["loss"])))
@@ -133,7 +136,10 @@ class DeviceTrainer:
                 f"non-finite loss at epoch {epoch} step {bad} ({phase}): "
                 f"{ {m: float(host[m][bad]) for m in self.metrics} }"
             )
-        out = {m: float(host[m].mean()) for m in self.metrics}
+        out = {
+            m: float(np.average(host[m], weights=weights))
+            for m in self.metrics
+        }
         out["epoch_time"] = minutes
         steps = host["loss"].shape[0]
         stride = max(1, self.cfg.print_interval)
@@ -207,8 +213,11 @@ class DeviceTrainer:
         stats = self._fetch_guarded(
             self.val_epoch_fn(self.state.params, self.val_data), epoch
         )
+        stats = dict(stats)
+        weights = np.asarray(stats.pop("num_valid"))
         return self._summarize(
-            stats, "val", epoch, (time.time() - start) / 60.0
+            stats, "val", epoch, (time.time() - start) / 60.0,
+            weights=weights,
         )
 
     def evaluate_val(self) -> dict[str, float]:

@@ -260,10 +260,17 @@ def make_train_epoch(task: TaskSpec, spec: EpochSpec, mesh, anchors_np,
 
 
 def make_val_epoch(task: TaskSpec, spec: EpochSpec, mesh, anchors_np,
-                   n_loc: int, batch_size: int, img_hw: tuple[int, int]):
+                   n_loc: int, batch_size: int, img_hw: tuple[int, int],
+                   n_valid: int | None = None):
     """One dispatch = full val-loss sweep (sequential batches, no aug).
     Stage val data with ``put_device_data(..., pad_to_batch=batch_size)``
-    so n_loc is a multiple of b_loc and every sample is covered."""
+    so n_loc is a multiple of b_loc and every sample is covered.
+
+    ``n_valid``: number of REAL samples (before wrap-around padding).
+    Padded slots (global padded-array index >= n_valid) get weight 0 in
+    each step's loss mean, and the per-step stats include ``num_valid`` so
+    callers can weight the epoch mean — without it, wrap padding would
+    double-count the head of the val set in the reported loss."""
     ndev = mesh.size
     b_loc = batch_size // ndev
     steps = (n_loc * ndev) // batch_size
@@ -283,9 +290,17 @@ def make_val_epoch(task: TaskSpec, spec: EpochSpec, mesh, anchors_np,
                 data, gather_images, idx_local, offsets, None,
                 task, spec, anchors_xywh, anchors_xyxy, img_hw, train=False,
             )
-            _, stats = _loss_for_batch(
-                params, images, gt, anchors_xywh, task, None, False, None
+            gidx = (idx_local + offsets).reshape(-1)
+            w = (
+                (gidx < n_valid).astype(jnp.float32)
+                if n_valid is not None
+                else jnp.ones(gidx.shape, jnp.float32)
             )
+            _, stats = _loss_for_batch(
+                params, images, gt, anchors_xywh, task, None, False, None,
+                sample_weights=w,
+            )
+            stats = dict(stats, num_valid=w.sum())
             return None, stats
 
         _, stats = lax.scan(body, None, jnp.asarray(idx_all))

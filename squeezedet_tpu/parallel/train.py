@@ -83,8 +83,12 @@ def _whiten_on_device(images, rgb_stats):
 
 
 def _loss_for_batch(
-    params, images, gt, anchors, task, dropout_rng, training, rgb_stats=None
+    params, images, gt, anchors, task, dropout_rng, training, rgb_stats=None,
+    sample_weights=None,
 ):
+    """Batch loss. ``sample_weights`` (B,) — when given, the batch mean
+    becomes a weighted mean (padded val slots get weight 0 so wrap-around
+    padding cannot double-count head samples in the reported val loss)."""
     images = _whiten_on_device(images, rgb_stats)
     pred = forward(
         params, images, task.model, training=training, dropout_rng=dropout_rng
@@ -93,7 +97,14 @@ def _loss_for_batch(
         pred, anchors, task.input_size, task.model.num_classes, with_log_probs=True
     )
     loss, stats = detection_loss(resolved, gt, task.num_anchors, task.loss_weights)
-    return loss.mean(), {k: v.mean() for k, v in stats.items()}
+    if sample_weights is None:
+        return loss.mean(), {k: v.mean() for k, v in stats.items()}
+    w = sample_weights.astype(loss.dtype)
+    denom = jnp.maximum(w.sum(), 1.0)
+    return (
+        (loss * w).sum() / denom,
+        {k: (v * w).sum() / denom for k, v in stats.items()},
+    )
 
 
 def _sgd_step(state: TrainState, images, gt, anchors, lr, rng, task, tx, rgb_stats):

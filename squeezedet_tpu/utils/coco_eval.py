@@ -67,10 +67,13 @@ def _iou_matrix(det_boxes, gt_boxes, gt_crowd):
     return np.where(union > 0, inter / np.maximum(union, 1e-12), 0.0)
 
 
-def _match_image(dets, gts, iou_thrs, area_rng, max_dets):
+def _match_image(dets, gts, iou_thrs, area_rng, max_dets, ious_full=None):
     """Greedy per-image/category matching (cocoeval.evaluateImg).
 
     ``dets``: list of {bbox, score}; ``gts``: list of {bbox, iscrowd, area}.
+    ``ious_full``: optional precomputed (D, G) IoU matrix in the ORIGINAL
+    det/gt order (computed once per image+category and reused across area
+    ranges / maxDets, like pycocotools' computeIoU).
     Returns (dt_matched, dt_ignored, dt_scores, n_gt_counted) where the
     first two are (T, D) over the IoU thresholds.
     """
@@ -91,11 +94,15 @@ def _match_image(dets, gts, iou_thrs, area_rng, max_dets):
     dets = [dets[i] for i in d_order]
     scores = np.array([d["score"] for d in dets], np.float64)
 
-    ious = _iou_matrix(
-        [d["bbox"] for d in dets],
-        [g["bbox"] for g in gts],
-        [g.get("iscrowd", 0) for g in gts],
-    )
+    if ious_full is None:
+        ious = _iou_matrix(
+            [d["bbox"] for d in dets],
+            [g["bbox"] for g in gts],
+            [g.get("iscrowd", 0) for g in gts],
+        )
+    else:
+        ious = ious_full[np.ix_(d_order, g_order)] if len(dets) and len(gts) \
+            else np.zeros((len(dets), len(gts)))
 
     T, D, G = len(iou_thrs), len(dets), len(gts)
     dt_m = np.full((T, D), -1, np.int64)
@@ -138,46 +145,60 @@ def evaluate_detections(gt_by_img_cat, det_by_img_cat, categories,
     Returns the 12 standard metrics plus per-category ``AP_<cat>``.
     """
     T, R = len(IOU_THRS), len(RECALL_THRS)
-    precision = {}  # (area, maxdet) -> (T, R, K)
-    recall = {}     # (area, maxdet) -> (T, K)
-    for area in AREA_RNGS:
-        for md in MAX_DETS:
-            precision[(area, md)] = -np.ones((T, R, len(categories)))
-            recall[(area, md)] = -np.ones((T, len(categories)))
+    # only the combinations the 12-metric suite reads (pycocotools computes
+    # all |areas| x |maxDets| products; 6 of its 12 are never summarized)
+    combos = [("all", md) for md in MAX_DETS] + [
+        (a, 100) for a in ("small", "medium", "large")
+    ]
+    precision = {c: -np.ones((T, R, len(categories))) for c in combos}
+    recall = {c: -np.ones((T, len(categories))) for c in combos}
 
     for ki, cat in enumerate(categories):
-        for area_name, area_rng in AREA_RNGS.items():
-            for md in MAX_DETS:
-                per_img = [
-                    _match_image(
-                        det_by_img_cat.get((img, cat), []),
-                        gt_by_img_cat.get((img, cat), []),
-                        IOU_THRS, area_rng, md,
-                    )
-                    for img in image_ids
-                ]
-                npig = sum(p[3] for p in per_img)
-                if npig == 0:
-                    continue
-                scores = np.concatenate([p[2] for p in per_img])
-                order = np.argsort(-scores, kind="mergesort")
-                dt_m = np.concatenate([p[0] for p in per_img], axis=1)[:, order]
-                dt_ig = np.concatenate([p[1] for p in per_img], axis=1)[:, order]
+        # IoU computed ONCE per (image, cat), reused across areas/maxDets
+        iou_cache = {
+            img: _iou_matrix(
+                [d["bbox"] for d in det_by_img_cat.get((img, cat), [])],
+                [g["bbox"] for g in gt_by_img_cat.get((img, cat), [])],
+                [
+                    g.get("iscrowd", 0)
+                    for g in gt_by_img_cat.get((img, cat), [])
+                ],
+            )
+            for img in image_ids
+        }
+        for area_name, md in combos:
+            area_rng = AREA_RNGS[area_name]
+            per_img = [
+                _match_image(
+                    det_by_img_cat.get((img, cat), []),
+                    gt_by_img_cat.get((img, cat), []),
+                    IOU_THRS, area_rng, md,
+                    ious_full=iou_cache[img],
+                )
+                for img in image_ids
+            ]
+            npig = sum(p[3] for p in per_img)
+            if npig == 0:
+                continue
+            scores = np.concatenate([p[2] for p in per_img])
+            order = np.argsort(-scores, kind="mergesort")
+            dt_m = np.concatenate([p[0] for p in per_img], axis=1)[:, order]
+            dt_ig = np.concatenate([p[1] for p in per_img], axis=1)[:, order]
 
-                tps = np.cumsum((dt_m > -1) & ~dt_ig, axis=1, dtype=np.float64)
-                fps = np.cumsum((dt_m == -1) & ~dt_ig, axis=1, dtype=np.float64)
-                for ti in range(T):
-                    tp, fp = tps[ti], fps[ti]
-                    rc = tp / npig
-                    pr = tp / np.maximum(tp + fp, 1e-12)
-                    recall[(area_name, md)][ti, ki] = rc[-1] if len(rc) else 0.0
-                    # monotone from the right, then sample at 101 recalls
-                    pr = np.maximum.accumulate(pr[::-1])[::-1]
-                    inds = np.searchsorted(rc, RECALL_THRS, side="left")
-                    q = np.zeros(R)
-                    valid = inds < len(pr)
-                    q[valid] = pr[inds[valid]]
-                    precision[(area_name, md)][ti, :, ki] = q
+            tps = np.cumsum((dt_m > -1) & ~dt_ig, axis=1, dtype=np.float64)
+            fps = np.cumsum((dt_m == -1) & ~dt_ig, axis=1, dtype=np.float64)
+            for ti in range(T):
+                tp, fp = tps[ti], fps[ti]
+                rc = tp / npig
+                pr = tp / np.maximum(tp + fp, 1e-12)
+                recall[(area_name, md)][ti, ki] = rc[-1] if len(rc) else 0.0
+                # monotone from the right, then sample at 101 recalls
+                pr = np.maximum.accumulate(pr[::-1])[::-1]
+                inds = np.searchsorted(rc, RECALL_THRS, side="left")
+                q = np.zeros(R)
+                valid = inds < len(pr)
+                q[valid] = pr[inds[valid]]
+                precision[(area_name, md)][ti, :, ki] = q
 
     def _ap(area, md, t_idx=None):
         p = precision[(area, md)]

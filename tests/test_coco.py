@@ -344,9 +344,14 @@ def test_kitti_to_coco_converter(tmp_path):
     assert len(gt["images"]) == 4
     assert gt["images"][0]["width"] == 600 and gt["images"][0]["height"] == 200
     crowd = [a for a in gt["annotations"] if a["iscrowd"]]
-    assert len(crowd) == 1
-    # 4 images x (Car + Pedestrian) + 1 DontCare
-    assert len(gt["annotations"]) == 9
+    # KITTI DontCare is class-agnostic but COCO crowd matching is
+    # per-category: one crowd annotation per category, so any class's
+    # detections are absorbed there (mirrors the devkit)
+    assert len(crowd) == 3
+    assert sorted(a["category_id"] for a in crowd) == [1, 2, 3]
+    assert len({a["id"] for a in gt["annotations"]}) == len(gt["annotations"])
+    # 4 images x (Car + Pedestrian) + 1 DontCare x 3 categories
+    assert len(gt["annotations"]) == 11
 
     cfg = _cfg(tmp_path)
     cfg.data_dir = str(tmp_path / "converted")

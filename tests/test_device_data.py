@@ -29,6 +29,7 @@ from squeezedet_tpu.parallel.epoch import (
 from squeezedet_tpu.parallel.mesh import make_mesh, replicate
 from squeezedet_tpu.parallel.train import (
     TaskSpec,
+    _loss_for_batch,
     _predict_batch,
     init_train_state,
     make_val_step,
@@ -226,10 +227,62 @@ def test_device_val_epoch_matches_manual():
             a_xywh, a_xyxy, hw, train=False,
         )
         manual = val_step(params, images, gt, a_xywh, None)
-        for k in stats:
+        for k in manual:
             np.testing.assert_allclose(
                 stats[k][s], float(manual[k]), rtol=2e-5, atol=2e-5
             )
+    # no padding here: every slot is real on every step
+    np.testing.assert_array_equal(stats["num_valid"], np.full(steps, 8.0))
+
+
+def test_device_val_epoch_masks_padded_samples():
+    """Wrap-around val padding must not double-count head samples in the
+    reported loss: padded slots get weight 0 and the per-step stats carry
+    num_valid (round-3 advisor finding)."""
+    assert len(jax.devices()) >= 8
+    mesh = make_mesh(8)
+    task = _task()
+    spec = _spec()
+    n_real = 12  # pads to 16 with batch 8 on an 8-device mesh
+    data, n_loc, hw = put_device_data(
+        mesh, _staged(n_real, seed=7), pad_to_batch=8
+    )
+    fn, steps = make_val_epoch(
+        task, spec, mesh, ANCHORS, n_loc, 8, hw, n_valid=n_real
+    )
+    params = replicate(mesh, init_params(jax.random.PRNGKey(3), task.model))
+    stats = jax.device_get(fn(params, data))
+    assert steps == 2
+    # step s holds global padded indices {s + 2*d}; 4 of 16 are padding
+    np.testing.assert_array_equal(stats["num_valid"], [6.0, 6.0])
+
+    # per-sample losses extracted via one-hot sample_weights, then averaged
+    # over only the REAL slots — must equal the epoch program's stats
+    gather = _make_gather(mesh)
+    a_xywh = jnp.asarray(ANCHORS)
+    a_xyxy = _xywh_to_xyxy(a_xywh)
+    offsets_np = (np.arange(8) * n_loc)[:, None].astype(np.int32)
+    offsets = jnp.asarray(offsets_np)
+    for s in range(steps):
+        idx = jnp.full((8, 1), s, jnp.int32)
+        images, gt = _prep_batch(
+            data, gather, idx, offsets, None, task, spec,
+            a_xywh, a_xyxy, hw, train=False,
+        )
+        gidx = (np.full((8, 1), s, np.int32) + offsets_np).reshape(-1)
+        valid = gidx < n_real
+        per_sample = []
+        for j in range(8):
+            w = jnp.zeros(8, jnp.float32).at[j].set(1.0)
+            _, st = _loss_for_batch(
+                params, images, gt, a_xywh, task, None, False, None,
+                sample_weights=w,
+            )
+            per_sample.append(float(st["loss"]))
+        expected = np.mean(np.asarray(per_sample)[valid])
+        np.testing.assert_allclose(
+            stats["loss"][s], expected, rtol=2e-5, atol=2e-5
+        )
 
 
 def test_device_predict_epoch_shapes():

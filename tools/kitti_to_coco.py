@@ -8,10 +8,12 @@ label_2}}`` and writes ``<dst>/coco/annotations/instances_{train,val}.json``
 plus ``<dst>/coco/{train,val}/`` image symlinks (copies with --copy).
 
 Class mapping: Car/Pedestrian/Cyclist -> category ids 1/2/3. KITTI
-``DontCare`` regions become ``iscrowd=1`` annotations (category 1) so the
-COCO evaluator's crowd-absorption ignore semantics mirror the devkit's
-DontCare handling; other KITTI types (Van, Truck, ...) are skipped, like
-the reference trainer does (src/datasets/kitti.py:49-72).
+``DontCare`` regions become one ``iscrowd=1`` annotation PER category
+(COCO crowd matching is per-category, KITTI DontCare is class-agnostic —
+emitting the region under every category makes the evaluator absorb any
+class's detections there, mirroring the devkit); other KITTI types (Van,
+Truck, ...) are skipped, like the reference trainer does
+(src/datasets/kitti.py:49-72).
 
 Image sizes come from the PNG IHDR header directly (no decode) — the
 1-core host converts a 4.5k-image set in seconds.
@@ -82,17 +84,23 @@ def convert_split(src_kitti: str, dst_coco: str, split: str,
                 bw, bh = max(0.0, x2 - x1), max(0.0, y2 - y1)
                 if bw <= 0 or bh <= 0:
                     continue
-                annotations.append(
-                    {
-                        "id": ann_id,
-                        "image_id": i,
-                        "category_id": CLASS_TO_CAT.get(name, 1),
-                        "bbox": [x1, y1, bw, bh],
-                        "area": bw * bh,
-                        "iscrowd": crowd,
-                    }
+                cats = (
+                    [c["id"] for c in CATEGORIES]  # class-agnostic DontCare
+                    if crowd
+                    else [CLASS_TO_CAT[name]]
                 )
-                ann_id += 1
+                for cat in cats:
+                    annotations.append(
+                        {
+                            "id": ann_id,
+                            "image_id": i,
+                            "category_id": cat,
+                            "bbox": [x1, y1, bw, bh],
+                            "area": bw * bh,
+                            "iscrowd": crowd,
+                        }
+                    )
+                    ann_id += 1
 
     os.makedirs(os.path.join(dst_coco, "annotations"), exist_ok=True)
     out = os.path.join(dst_coco, "annotations", f"instances_{split}.json")

@@ -25,7 +25,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
-PEAK_BF16 = 197e12  # TPU v5e per-chip bf16 peak FLOP/s
+from squeezedet_tpu.utils.devtime import (  # shared with bench.py
+    PEAK_BF16,
+    measure_rtt,
+    scan_predict_ms,
+)
 
 
 def main():
@@ -46,7 +50,6 @@ def main():
     )
     from squeezedet_tpu.parallel.train import (
         TaskSpec,
-        _predict_batch,
         _sgd_step,
         init_train_state,
         make_optimizer,
@@ -61,13 +64,8 @@ def main():
     anchors = jnp.asarray(anchors_np)
     print("devices:", jax.devices(), flush=True)
 
-    # tunnel RTT: a trivial dispatch with readback
-    trivial = jax.jit(lambda x: x + 1.0)
-    float(trivial(jnp.float32(0.0)))
-    t0 = time.perf_counter()
-    for _ in range(20):
-        float(trivial(jnp.float32(0.0)))
-    rtt = (time.perf_counter() - t0) / 20
+    # tunnel RTT: a trivial dispatch with readback (shared harness)
+    rtt = measure_rtt()
     print(f"tunnel RTT: {rtt*1e3:.1f} ms", flush=True)
 
     def time_predict(params, task, batch, label, base_flops):
@@ -76,27 +74,9 @@ def main():
             .normal(size=(batch, *input_size, 3))
             .astype(np.float32)
         )
-
-        @jax.jit
-        def run_n(p, images):
-            def body(carry, _):
-                pc = jax.tree.map(lambda w: w + carry, p)
-                out = _predict_batch(pc, images, anchors, task)
-                # >=0 in practice, so adding it to weights is a no-op the
-                # compiler cannot prove away — forces serial iterations
-                dep = jnp.minimum(jnp.min(out["scores"]), 0.0) * 1e-30
-                return dep, ()
-
-            carry, _ = lax.scan(body, jnp.float32(0.0), None, length=N)
-            return carry
-
-        float(run_n(params, imgs))  # compile
-        best = 1e9
-        for _ in range(3):
-            t0 = time.perf_counter()
-            float(run_n(params, imgs))
-            best = min(best, time.perf_counter() - t0)
-        step_ms = (best - rtt) / N * 1e3
+        step_ms = scan_predict_ms(
+            params, imgs, anchors, task, n=N, rtt=rtt, reps=3
+        )
         mfu = base_flops / ((step_ms / 1e3) * PEAK_BF16)
         print(
             f"{label:<34s} b{batch:<4d} {step_ms:7.2f} ms/batch  "

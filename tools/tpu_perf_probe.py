@@ -54,9 +54,10 @@ def main():
     )
 
     results = {}
+    # both dtypes ALWAYS run — the probe's purpose is the fp32-vs-bf16
+    # comparison (incl. the score-parity check); quick mode saves time by
+    # skipping the train-step timing instead
     variants = [("fp32", jnp.float32), ("bf16", jnp.bfloat16)]
-    if quick:
-        variants = variants[:1]
 
     ref_pred = None
     for name, dtype in variants:
@@ -91,7 +92,9 @@ def main():
               flush=True)
         results[name] = 20 / dt
 
-        # train step
+        # train step (skipped in quick mode — its ~25 s compile dominates)
+        if quick:
+            continue
         try:
             step = make_train_step(task)
             state = init_train_state(params, task)
