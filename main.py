@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""SqueezeDet-TPU CLI: ``python main.py {train|eval|demo|bench} [--flags]``.
+"""SqueezeDet-TPU CLI: ``python main.py {train|eval|demo|pretrain|bench}``.
 
 Flag-compatible with the reference CLI (src/main.py:5-18,
 src/utils/config.py:9-85) plus TPU-specific options; see
@@ -36,6 +36,10 @@ def run() -> None:
         from squeezedet_tpu.demo import demo
 
         demo(cfg)
+    elif cfg.mode == "pretrain":
+        from squeezedet_tpu.pretrain import pretrain
+
+        pretrain(cfg)
     elif cfg.mode == "bench":
         import bench
 

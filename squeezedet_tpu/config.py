@@ -211,7 +211,7 @@ class _BoolFlag(argparse.Action):
 
 def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(description="SqueezeDet-TPU")
-    parser.add_argument("mode", help="train | eval | demo | bench")
+    parser.add_argument("mode", help="train | eval | demo | pretrain | bench")
     for f in dataclasses.fields(Config):
         if f.name == "mode" or f.name in (
             "root_dir", "exp_dir", "save_dir", "debug_dir",

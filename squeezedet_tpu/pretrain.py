@@ -1,0 +1,256 @@
+"""Backbone pretraining driver: ``main.py pretrain``.
+
+Trains the SqueezeNet classifier (models/classifier.py) on a crop dataset
+built by tools/make_classification_crops.py, then exports the trunk as a
+torchvision-format ``.pth`` for detection fine-tuning via ``--load_model``.
+This is the in-framework replacement for step 1 of the reference's workflow
+(download ImageNet squeezenet1_1 weights, reference README +
+src/utils/model.py:43-61) — unobtainable here (zero egress), so the
+framework produces the pretrained backbone itself.
+
+TPU-first: the whole crop dataset is staged in HBM once (it is tiny next to
+the detection sets) and an epoch is ONE dispatch — a ``lax.scan`` over
+steps doing gather -> whiten -> flip-augment -> fwd/bwd -> SGD on device,
+same philosophy as the detection ``--device_data`` path (parallel/epoch.py)
+and equally immune to host speed and tunnel pathologies. Multi-chip: batch
+axis sharded over the data mesh; XLA inserts the gradient all-reduce.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax import lax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from squeezedet_tpu.models.classifier import (
+    ClassifierSpec,
+    export_torchvision_pth,
+    forward_classifier,
+    init_classifier_params,
+)
+from squeezedet_tpu.parallel.mesh import make_mesh
+from squeezedet_tpu.parallel.train import TrainState, stepLR
+from squeezedet_tpu.utils.checkpoint import (
+    load_train_state,
+    save_params,
+    save_train_state,
+)
+from squeezedet_tpu.utils.logger import Logger
+
+
+def _load_crop_data(data_dir: str):
+    with open(os.path.join(data_dir, "meta.json")) as fp:
+        meta = json.load(fp)
+    out = {}
+    for split in ("train", "val"):
+        images = np.load(os.path.join(data_dir, f"images_{split}.npy"))
+        labels = np.load(os.path.join(data_dir, f"labels_{split}.npy"))
+        if len(images) == 0:
+            raise ValueError(f"empty {split} split in {data_dir}")
+        out[split] = (images, labels.astype(np.int32))
+    return out, meta
+
+
+def _make_optimizer(cfg) -> optax.GradientTransformation:
+    """Same transform semantics as detection training
+    (parallel/train.make_optimizer): clip -> weight decay -> momentum;
+    lr applied at runtime so the schedule never recompiles."""
+    return optax.chain(
+        optax.clip_by_global_norm(cfg.grad_norm),
+        optax.add_decayed_weights(cfg.weight_decay),
+        optax.trace(decay=cfg.momentum, nesterov=False),
+    )
+
+
+def _whiten(x_u8, mean, std):
+    return (x_u8.astype(jnp.float32) - mean) / std
+
+
+def make_pretrain_epoch(spec: ClassifierSpec, tx, mesh, rgb_mean, rgb_std):
+    """One dispatch = one training epoch over staged crops.
+
+    Returns ``epoch_fn(state, images_u8, labels, perm, lr, rng)`` where
+    ``perm`` is (steps, batch) int32 sample indices (host-shuffled)."""
+    mean = jnp.asarray(np.ravel(rgb_mean), jnp.float32)
+    std = jnp.asarray(np.ravel(rgb_std), jnp.float32)
+    batch_sh = NamedSharding(mesh, P("data"))
+
+    def loss_fn(params, x, y, dropout_rng):
+        logits = forward_classifier(
+            params, x, spec, training=True, dropout_rng=dropout_rng
+        )
+        loss = optax.softmax_cross_entropy_with_integer_labels(logits, y).mean()
+        acc = (jnp.argmax(logits, axis=-1) == y).mean()
+        return loss, acc
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def epoch_fn(state: TrainState, images_u8, labels, perm, lr, rng):
+        def body(state, step_in):
+            idx, key = step_in
+            x = _whiten(images_u8[idx], mean, std)
+            y = labels[idx]
+            x = lax.with_sharding_constraint(x, batch_sh)
+            flip_key, drop_key = jax.random.split(jax.random.fold_in(key, 0))
+            do_flip = jax.random.bernoulli(flip_key, 0.5, (x.shape[0], 1, 1, 1))
+            x = jnp.where(do_flip, x[:, :, ::-1, :], x)
+            (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params, x, y, drop_key
+            )
+            updates, opt_state = tx.update(grads, state.opt_state, state.params)
+            updates = jax.tree.map(lambda u: -lr * u, updates)
+            params = optax.apply_updates(state.params, updates)
+            return (
+                TrainState(params, opt_state, state.step + 1),
+                {"loss": loss, "acc": acc},
+            )
+
+        keys = jax.random.split(rng, perm.shape[0])
+        return lax.scan(body, state, (perm, keys))
+
+    return epoch_fn
+
+
+def make_eval_fn(spec: ClassifierSpec, mesh, rgb_mean, rgb_std):
+    """One dispatch = full val sweep; the last batch is wrap-padded and
+    masked so every sample counts exactly once."""
+    mean = jnp.asarray(np.ravel(rgb_mean), jnp.float32)
+    std = jnp.asarray(np.ravel(rgb_std), jnp.float32)
+    batch_sh = NamedSharding(mesh, P("data"))
+
+    @jax.jit
+    def eval_fn(params, images_u8, labels, idx_steps, n_valid):
+        def body(_, idx):
+            x = lax.with_sharding_constraint(
+                _whiten(images_u8[idx], mean, std), batch_sh
+            )
+            logits = forward_classifier(params, x, spec, training=False)
+            ok = (jnp.argmax(logits, axis=-1) == labels[idx]).astype(jnp.float32)
+            real = (idx < n_valid).astype(jnp.float32)
+            # wrap-padded duplicate slots get weight 0
+            return None, ((ok * real).sum(), real.sum())
+
+        _, (correct, count) = lax.scan(body, None, idx_steps)
+        return correct.sum() / jnp.maximum(count.sum(), 1.0)
+
+    return eval_fn
+
+
+def _step_indices(n: int, batch: int) -> np.ndarray:
+    """Sequential (steps, batch) indices covering [0, n), last step
+    wrap-padded (duplicates are masked by the caller via n_valid)."""
+    steps = -(-n // batch)
+    idx = np.arange(steps * batch) % n
+    return idx.reshape(steps, batch).astype(np.int32)
+
+
+def pretrain(cfg) -> None:
+    data, meta = _load_crop_data(cfg.data_dir)
+    classes = meta["classes"]
+    rgb_mean, rgb_std = meta["rgb_mean"], meta["rgb_std"]
+
+    mesh = make_mesh(cfg.data_parallel)
+    if cfg.batch_size % mesh.size:
+        raise ValueError(
+            f"batch_size {cfg.batch_size} not divisible by mesh size {mesh.size}"
+        )
+    spec = ClassifierSpec(
+        arch=cfg.arch,
+        num_classes=len(classes),
+        dropout_prob=cfg.dropout_prob,
+        compute_dtype=jnp.bfloat16 if cfg.mixed_precision else jnp.float32,
+    )
+    logger = Logger(cfg)
+    logger.write(
+        f"pretrain: {len(data['train'][0])} train / {len(data['val'][0])} val "
+        f"crops ({meta['crop_size']}px), classes {classes}, mesh {mesh.size}"
+    )
+
+    tx = _make_optimizer(cfg)
+    params = init_classifier_params(jax.random.PRNGKey(cfg.seed), spec)
+    state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+    start_epoch, best = 1, -1.0
+    if cfg.resume:
+        state, saved_epoch, saved_best = load_train_state(cfg.resume, state)
+        start_epoch = saved_epoch + 1
+        best = saved_best if saved_best is not None else -1.0
+        logger.write(f"resumed {cfg.resume} at epoch {saved_epoch} (best {best})")
+
+    # stage everything in HBM once (replicated: gather indices are global)
+    repl = NamedSharding(mesh, P())
+    train_images = jax.device_put(data["train"][0], repl)
+    train_labels = jax.device_put(data["train"][1], repl)
+    val_images = jax.device_put(data["val"][0], repl)
+    val_labels = jax.device_put(data["val"][1], repl)
+
+    epoch_fn = make_pretrain_epoch(spec, tx, mesh, rgb_mean, rgb_std)
+    eval_fn = make_eval_fn(spec, mesh, rgb_mean, rgb_std)
+    val_idx = _step_indices(len(data["val"][0]), cfg.batch_size)
+
+    n_train = len(data["train"][0])
+    steps = (
+        cfg.num_iters if cfg.num_iters > 0 else n_train // cfg.batch_size
+    )
+    rng = np.random.default_rng(cfg.seed)
+    root = jax.random.PRNGKey(cfg.seed + 1)
+
+    def export(params, name: str) -> None:
+        path = os.path.join(cfg.save_dir, name)
+        export_torchvision_pth(jax.device_get(params), spec, path)
+        logger.write(f"exported torchvision-format backbone: {path}")
+
+    for epoch in range(start_epoch, cfg.num_epochs + 1):
+        t0 = time.time()
+        perm = np.stack(
+            [rng.permutation(n_train)[: steps * cfg.batch_size]
+             .reshape(steps, cfg.batch_size)]
+        )[0].astype(np.int32)
+        lr = stepLR(cfg.lr, epoch)
+        state, stats = epoch_fn(
+            state, train_images, train_labels, perm,
+            jnp.float32(lr), jax.random.fold_in(root, epoch),
+        )
+        loss = float(np.asarray(stats["loss"]).mean())
+        acc = float(np.asarray(stats["acc"]).mean())
+        logger.update(
+            {"loss": loss, "acc": acc, "lr": lr,
+             "epoch_time": (time.time() - t0) / 60.0},
+            "train", epoch,
+        )
+        if not np.isfinite(loss):
+            raise FloatingPointError(f"non-finite pretrain loss at epoch {epoch}")
+
+        if epoch % cfg.val_intervals == 0 or epoch == cfg.num_epochs:
+            val_acc = float(
+                eval_fn(
+                    state.params, val_images, val_labels, val_idx,
+                    len(data["val"][0]),
+                )
+            )
+            logger.update({"acc": val_acc}, "val", epoch)
+            if val_acc > best:
+                best = val_acc
+                save_params(
+                    os.path.join(cfg.save_dir, "model_best"),
+                    state.params, epoch,
+                )
+                export(state.params, "backbone_best.pth")
+        if epoch % cfg.save_intervals == 0 or epoch == cfg.num_epochs:
+            save_train_state(
+                os.path.join(cfg.save_dir, "state_last"), state, epoch, best
+            )
+
+    save_train_state(
+        os.path.join(cfg.save_dir, "state_last"), state, cfg.num_epochs, best
+    )
+    export(state.params, "backbone_last.pth")
+    logger.plot(["loss", "acc"])
+    logger.print_bests(["acc"])
+    logger.write(f"pretrain done: best val acc {best:.3f}")
