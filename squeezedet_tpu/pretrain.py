@@ -208,10 +208,11 @@ def pretrain(cfg) -> None:
 
     for epoch in range(start_epoch, cfg.num_epochs + 1):
         t0 = time.time()
-        perm = np.stack(
-            [rng.permutation(n_train)[: steps * cfg.batch_size]
-             .reshape(steps, cfg.batch_size)]
-        )[0].astype(np.int32)
+        perm = (
+            rng.permutation(n_train)[: steps * cfg.batch_size]
+            .reshape(steps, cfg.batch_size)
+            .astype(np.int32)
+        )
         lr = stepLR(cfg.lr, epoch)
         state, stats = epoch_fn(
             state, train_images, train_labels, perm,

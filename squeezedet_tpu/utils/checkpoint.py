@@ -235,6 +235,32 @@ def load_pth_params(
     return params, epoch
 
 
+def save_pth_params(
+    path: str, params: Params, spec: ModelSpec, epoch: int = 0
+) -> None:
+    """Export detection params as a reference-format ``.pth`` checkpoint —
+    the INVERSE of :func:`load_pth_params`, completing two-way interop:
+    models trained here load into the reference with its own
+    ``load_model`` (reference src/utils/model.py:5-41; its save format
+    ``{'epoch', 'state_dict'}`` with ``base.features.{i}.*`` /
+    ``base.convdet.*`` keys is src/utils/model.py:64-71). Weights are
+    transposed HWIO -> OIHW. Round-trip equality is asserted in
+    tests/test_checkpoint.py."""
+    import torch
+
+    state_dict: dict[str, Any] = {}
+    for tree_path, stem in _torch_key_map(spec).items():
+        node = params
+        for p in tree_path:
+            node = node[p]
+        w = np.asarray(node["w"], np.float32).transpose(3, 2, 0, 1)
+        state_dict[f"{stem}.weight"] = torch.from_numpy(np.ascontiguousarray(w))
+        state_dict[f"{stem}.bias"] = torch.from_numpy(
+            np.asarray(node["b"], np.float32).copy()
+        )
+    torch.save({"epoch": int(epoch), "state_dict": state_dict}, path)
+
+
 def load_any(path: str, init: Params, spec: ModelSpec) -> tuple[Params, int]:
     """Dispatch on checkpoint format: .pth file vs orbax directory."""
     if path.endswith(".pth"):

@@ -191,3 +191,54 @@ def test_load_any_dispatch(tmp_path):
     save_params(path, params, epoch=5)
     loaded, epoch = load_any(path, init_params(jax.random.PRNGKey(1), SPEC), SPEC)
     assert epoch == 5
+
+
+def test_save_pth_reference_format_roundtrip(tmp_path):
+    """save_pth_params writes the reference's own checkpoint format
+    ({'epoch', 'state_dict'} with base.* keys, OIHW): its state dict
+    matches the independently-built reference-style dict exactly, and
+    load_pth_params restores it bit-for-bit (two-way interop)."""
+    from squeezedet_tpu.utils.checkpoint import save_pth_params
+
+    for arch in ("squeezedet", "squeezedetplus"):
+        spec = ModelSpec(arch=arch, num_classes=3, anchors_per_grid=9)
+        params = jax.tree.map(
+            np.asarray, init_params(jax.random.PRNGKey(2), spec)
+        )
+        path = str(tmp_path / f"export_{arch}.pth")
+        save_pth_params(path, params, spec, epoch=41)
+
+        blob = torch.load(path, map_location="cpu", weights_only=True)
+        assert blob["epoch"] == 41
+        expected = _torch_state_dict(params, spec)
+        assert set(blob["state_dict"].keys()) == set(expected.keys())
+        for k, v in expected.items():
+            np.testing.assert_array_equal(blob["state_dict"][k].numpy(), v.numpy())
+
+        restored, epoch = load_pth_params(
+            path, init_params(jax.random.PRNGKey(9), spec), spec, verbose=False
+        )
+        assert epoch == 41
+        for a, b in zip(jax.tree.leaves(restored), jax.tree.leaves(params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_export_reference_pth_tool(tmp_path):
+    """The CLI tool: orbax params dir -> reference .pth."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import export_reference_pth
+
+    params = init_params(jax.random.PRNGKey(4), SPEC)
+    ckpt = str(tmp_path / "model_best")
+    save_params(ckpt, params, epoch=7)
+    out = str(tmp_path / "exported.pth")
+    export_reference_pth.main([ckpt, out])
+
+    restored, epoch = load_pth_params(
+        out, init_params(jax.random.PRNGKey(5), SPEC), SPEC, verbose=False
+    )
+    assert epoch == 7
+    for a, b in zip(jax.tree.leaves(restored), jax.tree.leaves(params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
