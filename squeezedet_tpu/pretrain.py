@@ -37,7 +37,7 @@ from squeezedet_tpu.models.classifier import (
     init_classifier_params,
 )
 from squeezedet_tpu.parallel.mesh import make_mesh
-from squeezedet_tpu.parallel.train import TrainState, stepLR
+from squeezedet_tpu.parallel.train import TrainState, make_optimizer, stepLR
 from squeezedet_tpu.utils.checkpoint import (
     load_train_state,
     save_params,
@@ -57,17 +57,6 @@ def _load_crop_data(data_dir: str):
             raise ValueError(f"empty {split} split in {data_dir}")
         out[split] = (images, labels.astype(np.int32))
     return out, meta
-
-
-def _make_optimizer(cfg) -> optax.GradientTransformation:
-    """Same transform semantics as detection training
-    (parallel/train.make_optimizer): clip -> weight decay -> momentum;
-    lr applied at runtime so the schedule never recompiles."""
-    return optax.chain(
-        optax.clip_by_global_norm(cfg.grad_norm),
-        optax.add_decayed_weights(cfg.weight_decay),
-        optax.trace(decay=cfg.momentum, nesterov=False),
-    )
 
 
 def _whiten(x_u8, mean, std):
@@ -126,29 +115,34 @@ def make_eval_fn(spec: ClassifierSpec, mesh, rgb_mean, rgb_std):
     batch_sh = NamedSharding(mesh, P("data"))
 
     @jax.jit
-    def eval_fn(params, images_u8, labels, idx_steps, n_valid):
-        def body(_, idx):
+    def eval_fn(params, images_u8, labels, pos_steps, n_valid):
+        n = images_u8.shape[0]
+
+        def body(_, pos):
+            # pos is the LINEAR position (un-wrapped) so the pad mask below
+            # is meaningful; the gather index wraps it into range
+            idx = pos % n
             x = lax.with_sharding_constraint(
                 _whiten(images_u8[idx], mean, std), batch_sh
             )
             logits = forward_classifier(params, x, spec, training=False)
             ok = (jnp.argmax(logits, axis=-1) == labels[idx]).astype(jnp.float32)
-            real = (idx < n_valid).astype(jnp.float32)
+            real = (pos < n_valid).astype(jnp.float32)
             # wrap-padded duplicate slots get weight 0
             return None, ((ok * real).sum(), real.sum())
 
-        _, (correct, count) = lax.scan(body, None, idx_steps)
+        _, (correct, count) = lax.scan(body, None, pos_steps)
         return correct.sum() / jnp.maximum(count.sum(), 1.0)
 
     return eval_fn
 
 
 def _step_indices(n: int, batch: int) -> np.ndarray:
-    """Sequential (steps, batch) indices covering [0, n), last step
-    wrap-padded (duplicates are masked by the caller via n_valid)."""
+    """Sequential (steps, batch) linear POSITIONS covering [0, n) plus the
+    tail pad up to a full last batch. Positions >= n are the pad: the eval
+    fn wraps them for the gather and masks them out of the accuracy."""
     steps = -(-n // batch)
-    idx = np.arange(steps * batch) % n
-    return idx.reshape(steps, batch).astype(np.int32)
+    return np.arange(steps * batch).reshape(steps, batch).astype(np.int32)
 
 
 def pretrain(cfg) -> None:
@@ -173,7 +167,8 @@ def pretrain(cfg) -> None:
         f"crops ({meta['crop_size']}px), classes {classes}, mesh {mesh.size}"
     )
 
-    tx = _make_optimizer(cfg)
+    tx = make_optimizer(cfg)  # Config carries the same grad_norm /
+    #   weight_decay / momentum attrs TaskSpec does
     params = init_classifier_params(jax.random.PRNGKey(cfg.seed), spec)
     state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
     start_epoch, best = 1, -1.0
@@ -195,9 +190,20 @@ def pretrain(cfg) -> None:
     val_idx = _step_indices(len(data["val"][0]), cfg.batch_size)
 
     n_train = len(data["train"][0])
-    steps = (
-        cfg.num_iters if cfg.num_iters > 0 else n_train // cfg.batch_size
-    )
+    max_steps = n_train // cfg.batch_size
+    if max_steps == 0:
+        raise ValueError(
+            f"batch_size {cfg.batch_size} exceeds the {n_train}-crop train set"
+        )
+    steps = max_steps
+    if cfg.num_iters > 0:
+        if cfg.num_iters > max_steps:
+            logger_warn = (
+                f"[pretrain] --num_iters {cfg.num_iters} exceeds one pass "
+                f"({max_steps} steps at batch {cfg.batch_size}); clamping"
+            )
+            print(logger_warn)
+        steps = min(cfg.num_iters, max_steps)
     rng = np.random.default_rng(cfg.seed)
     root = jax.random.PRNGKey(cfg.seed + 1)
 
@@ -248,9 +254,7 @@ def pretrain(cfg) -> None:
                 os.path.join(cfg.save_dir, "state_last"), state, epoch, best
             )
 
-    save_train_state(
-        os.path.join(cfg.save_dir, "state_last"), state, cfg.num_epochs, best
-    )
+    # (state_last for the final epoch was already written by the loop)
     export(state.params, "backbone_last.pth")
     logger.plot(["loss", "acc"])
     logger.print_bests(["acc"])

@@ -190,9 +190,54 @@ def test_make_classification_crops_tool(tmp_path):
     assert os.path.exists(os.path.join(out, "images_val.npy"))
 
 
-def test_step_indices_wrap():
+def test_step_indices_positions():
     from squeezedet_tpu.pretrain import _step_indices
 
-    idx = _step_indices(10, 4)
-    assert idx.shape == (3, 4)
-    assert idx.max() == 9 and idx[-1, -1] == 1  # wrapped
+    pos = _step_indices(10, 4)
+    assert pos.shape == (3, 4)
+    # linear positions, NOT pre-wrapped: the tail pad (>= n) must stay
+    # distinguishable so the eval fn can mask it out of the accuracy
+    assert pos[-1, -1] == 11 and pos.max() == 11
+
+
+def test_eval_masks_nondivisible_val():
+    """Wrap-padded eval slots must not be double-counted: accuracy over a
+    val set with n % batch != 0 equals the direct per-sample accuracy."""
+    from squeezedet_tpu.pretrain import _step_indices, make_eval_fn
+    from squeezedet_tpu.parallel.mesh import make_mesh
+
+    spec = ClassifierSpec(num_classes=3, dropout_prob=0.0)
+    params = init_classifier_params(jax.random.PRNGKey(0), spec)
+    n, batch = 22, 16  # 2 steps, 10 pad slots
+    rng = np.random.default_rng(1)
+    images = rng.integers(0, 255, (n, 48, 48, 3)).astype(np.uint8)
+    labels = rng.integers(0, 3, n).astype(np.int32)
+    mean, std = [128.0] * 3, [64.0] * 3
+
+    eval_fn = make_eval_fn(spec, make_mesh(1), mean, std)
+    acc = float(
+        eval_fn(params, images, labels, _step_indices(n, batch), n)
+    )
+
+    x = (images.astype(np.float32) - np.array(mean)) / np.array(std)
+    logits = np.asarray(forward_classifier(params, jnp.asarray(x), spec))
+    direct = float((logits.argmax(-1) == labels).mean())
+    assert abs(acc - direct) < 1e-6
+
+
+def test_forward_classifier_torch_parity():
+    """Repo convention: every numerical component gets an independent
+    torch oracle. Covers the trunk prefix + head (incl. the deliberate
+    no-ReLU pooling)."""
+    from tests.torch_oracle import forward_classifier_torch
+
+    spec = ClassifierSpec(num_classes=5, dropout_prob=0.0)
+    params = init_classifier_params(jax.random.PRNGKey(11), spec)
+    x = np.asarray(
+        jax.random.normal(jax.random.PRNGKey(12), (2, 96, 96, 3))
+    )
+    ours = np.asarray(forward_classifier(params, jnp.asarray(x), spec))
+    oracle = forward_classifier_torch(
+        jax.tree.map(np.asarray, params), x, spec
+    )
+    np.testing.assert_allclose(ours, oracle, rtol=1e-4, atol=1e-4)

@@ -53,6 +53,31 @@ def forward_torch(params, images_nhwc: np.ndarray, spec: ModelSpec) -> np.ndarra
     return x.view(b, -1, spec.num_classes + 5).detach().numpy()
 
 
+def forward_classifier_torch(params, images_nhwc, cls_spec) -> np.ndarray:
+    """Classifier forward twin (no dropout): trunk prefix -> 1x1 conv ->
+    global average pool. Returns (B, num_classes) numpy."""
+    from squeezedet_tpu.models.classifier import trunk_body
+
+    arch = ARCH_SPECS[cls_spec.arch]
+    stem = arch["stem"]
+    x = _t(images_nhwc).permute(0, 3, 1, 2)
+    x = F.relu(_conv_nchw(x, params["stem"], stride=stem["stride"], pad=stem["pad"]))
+    fire_i = 0
+    for item in trunk_body(cls_spec):
+        if item == "pool":
+            x = F.max_pool2d(x, kernel_size=3, stride=2, ceil_mode=True)
+        else:
+            p = params[f"fire{fire_i}"]
+            s = F.relu(_conv_nchw(x, p["squeeze"]))
+            x = torch.cat(
+                [F.relu(_conv_nchw(s, p["expand1"])), F.relu(_conv_nchw(s, p["expand3"], pad=1))],
+                dim=1,
+            )
+            fire_i += 1
+    x = _conv_nchw(x, params["classifier"])
+    return x.mean(dim=(2, 3)).detach().numpy()
+
+
 def resolve_torch(pred: np.ndarray, anchors: np.ndarray, input_size, num_classes):
     """Decode raw head output: softmax probs, sigmoid scores, delta boxes."""
     pred = _t(pred)
