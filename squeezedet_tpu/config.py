@@ -107,6 +107,9 @@ class Config:
     #   sub-LSB quantization noise for ~3x less host work and 4x less H2D
     max_objects: int = 0  # device_data GT capacity per frame; 0 = auto-size
     #   from the dataset's observed per-frame maximum (min 16)
+    num_fires: int = 0  # pretrain trunk depth (fire modules); 0 = arch
+    #   default: 8 on squeezedet (the torchvision squeezenet1_1 prefix),
+    #   every fire on squeezedetplus (its ImageNet backbone covers them all)
 
     # derived (filled by parse/update_dataset_info)
     root_dir: str = ""

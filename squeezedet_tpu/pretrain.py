@@ -155,9 +155,14 @@ def pretrain(cfg) -> None:
         raise ValueError(
             f"batch_size {cfg.batch_size} not divisible by mesh size {mesh.size}"
         )
+    from squeezedet_tpu.models.squeezedet import ARCH_SPECS
+
+    total_fires = sum(1 for s in ARCH_SPECS[cfg.arch]["body"] if s != "pool")
+    num_fires = cfg.num_fires or (8 if cfg.arch == "squeezedet" else total_fires)
     spec = ClassifierSpec(
         arch=cfg.arch,
         num_classes=len(classes),
+        num_fires=num_fires,
         dropout_prob=cfg.dropout_prob,
         compute_dtype=jnp.bfloat16 if cfg.mixed_precision else jnp.float32,
     )

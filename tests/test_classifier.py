@@ -45,6 +45,35 @@ def test_trunk_channels():
         _ = ClassifierSpec(num_fires=99).trunk_channels
 
 
+def test_plus_arch_full_trunk():
+    """squeezedetplus pretrains its whole 10-fire trunk (its ImageNet
+    backbone covers every fire) and round-trips into the plus detector."""
+    spec = ClassifierSpec(arch="squeezedetplus", num_classes=4, num_fires=10)
+    assert spec.trunk_channels == 512
+    params = init_classifier_params(jax.random.PRNGKey(0), spec)
+    logits = forward_classifier(
+        params, jax.random.normal(jax.random.PRNGKey(1), (1, 64, 64, 3)), spec
+    )
+    assert logits.shape == (1, 4)
+
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        path = os.path.join(tmp, "plus.pth")
+        export_torchvision_pth(params, spec, path)
+        det_spec = ModelSpec(arch="squeezedetplus", init_scheme="he")
+        init = init_params(jax.random.PRNGKey(7), det_spec)
+        loaded, _ = load_pth_params(path, init, det_spec, verbose=False)
+        for i in range(10):
+            np.testing.assert_allclose(
+                loaded[f"fire{i}"]["squeeze"]["w"],
+                params[f"fire{i}"]["squeeze"]["w"],
+            )
+        np.testing.assert_array_equal(
+            loaded["convdet"]["w"], init["convdet"]["w"]
+        )
+
+
 def test_export_matches_torchvision_squeezenet11_layout(tmp_path):
     """Exported keys/shapes must be exactly the official squeezenet1_1
     state-dict layout (features Sequential indices 0,3,4,6,7,9,10,11,12)."""
