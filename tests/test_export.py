@@ -1,0 +1,95 @@
+"""StableHLO serving export: the serialized artifact must reproduce the
+live serving path (uint8 ingest + folded whitening + on-device NMS)
+bit-for-bit through deserialize+call, with no framework state."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from squeezedet_tpu.core.anchors import generate_anchors
+from squeezedet_tpu.data.kitti import KITTI_ANCHOR_SEEDS
+from squeezedet_tpu.models.squeezedet import ModelSpec, init_params
+from squeezedet_tpu.parallel.train import TaskSpec
+from squeezedet_tpu.utils.export import build_serving_fn, export_stablehlo
+
+INPUT = (96, 160)
+
+
+class _Cfg:
+    rgb_mean = np.array([[[93.9, 98.8, 95.9]]], np.float32)
+    rgb_std = np.array([[[78.8, 80.1, 81.2]]], np.float32)
+    anchors = generate_anchors(
+        (6, 10), INPUT, (KITTI_ANCHOR_SEEDS / 4.0).astype(np.float32)
+    )
+    class_names = ("Car", "Pedestrian", "Cyclist")
+
+
+def _task():
+    return TaskSpec(
+        model=ModelSpec(num_classes=3, anchors_per_grid=9),
+        input_size=INPUT,
+        num_anchors=_Cfg.anchors.shape[0],
+    )
+
+
+def test_stablehlo_roundtrip(tmp_path):
+    from jax import export as jax_export
+
+    task = _task()
+    params = init_params(jax.random.PRNGKey(0), task.model)
+    prefix = str(tmp_path / "serving")
+    hlo_path = export_stablehlo(prefix, params, task, _Cfg, batch_size=2)
+    assert os.path.exists(hlo_path)
+
+    with open(prefix + ".json") as fp:
+        meta = json.load(fp)
+    assert meta["input"]["shape"] == [2, *INPUT, 3]
+    assert meta["input"]["dtype"] == "uint8"
+    assert meta["class_names"] == ["Car", "Pedestrian", "Cyclist"]
+
+    with open(hlo_path, "rb") as fp:
+        restored = jax_export.deserialize(fp.read())
+
+    imgs = np.random.default_rng(0).integers(
+        0, 256, (2, *INPUT, 3)
+    ).astype(np.uint8)
+    got = restored.call(jnp.asarray(imgs))
+
+    serve = build_serving_fn(
+        params, task, _Cfg.rgb_mean, _Cfg.rgb_std, np.asarray(_Cfg.anchors)
+    )
+    want = jax.jit(serve)(jnp.asarray(imgs))
+    for key in ("keep", "class_ids", "scores", "boxes"):
+        np.testing.assert_allclose(
+            np.asarray(got[key]), np.asarray(want[key]), rtol=1e-5, atol=1e-5
+        )
+
+
+def test_float_path_matches_uint8_semantics(tmp_path):
+    """The float-input export (pre-whitened) agrees with the uint8 export
+    on the same underlying image up to resize-free quantization."""
+    task = _task()
+    params = init_params(jax.random.PRNGKey(1), task.model)
+    imgs_u8 = np.random.default_rng(1).integers(
+        0, 256, (1, *INPUT, 3)
+    ).astype(np.uint8)
+    whitened = (
+        imgs_u8.astype(np.float32) - _Cfg.rgb_mean
+    ) / _Cfg.rgb_std
+
+    u8 = build_serving_fn(
+        params, task, _Cfg.rgb_mean, _Cfg.rgb_std, np.asarray(_Cfg.anchors)
+    )(jnp.asarray(imgs_u8))
+    fl = build_serving_fn(
+        params, task, _Cfg.rgb_mean, _Cfg.rgb_std,
+        np.asarray(_Cfg.anchors), uint8=False,
+    )(jnp.asarray(whitened))
+    np.testing.assert_array_equal(
+        np.asarray(u8["class_ids"]), np.asarray(fl["class_ids"])
+    )
+    np.testing.assert_allclose(
+        np.asarray(u8["scores"]), np.asarray(fl["scores"]), rtol=1e-4, atol=1e-4
+    )
