@@ -203,11 +203,10 @@ def pretrain(cfg) -> None:
     steps = max_steps
     if cfg.num_iters > 0:
         if cfg.num_iters > max_steps:
-            logger_warn = (
+            print(
                 f"[pretrain] --num_iters {cfg.num_iters} exceeds one pass "
                 f"({max_steps} steps at batch {cfg.batch_size}); clamping"
             )
-            print(logger_warn)
         steps = min(cfg.num_iters, max_steps)
     rng = np.random.default_rng(cfg.seed)
     root = jax.random.PRNGKey(cfg.seed + 1)
