@@ -32,6 +32,10 @@ def main(argv=None) -> None:
                     help="dataset root for constants (default: <repo>/data)")
     ap.add_argument("--float_input", action="store_true",
                     help="export the pre-whitened float path instead of uint8")
+    ap.add_argument("--platforms", default="",
+                    help="comma-separated lowering targets (e.g. 'tpu' to "
+                         "cross-compile from a CPU host); default = current "
+                         "backend")
     args = ap.parse_args(argv)
 
     import jax
@@ -67,6 +71,7 @@ def main(argv=None) -> None:
     path = export_stablehlo(
         args.out_prefix, params, task, cfg, args.batch_size,
         uint8=not args.float_input,
+        platforms=args.platforms.split(",") if args.platforms else None,
     )
     size = os.path.getsize(path)
     print(
