@@ -219,6 +219,38 @@ def test_make_classification_crops_tool(tmp_path):
     assert os.path.exists(os.path.join(out, "images_val.npy"))
 
 
+def test_pretrain_resume(tmp_path):
+    """--resume restores optimizer state + epoch + best and continues:
+    2 epochs then resume for 2 more == the log shows epochs 3..4 and the
+    restored best carries over."""
+    from squeezedet_tpu.pretrain import pretrain
+
+    data_dir = str(tmp_path / "crops")
+    _write_crop_dataset(data_dir, n_train=64, n_val=32)
+    common = dict(
+        mode="pretrain", exp_id="pretrain_resume", data_dir=data_dir,
+        lr=0.01, batch_size=16, val_intervals=2, save_intervals=2,
+        dropout_prob=0.0, seed=3,
+    )
+    cfg = Config(num_epochs=2, **common)
+    cfg.finalize_dirs(root_dir=str(tmp_path))
+    pretrain(cfg)
+    state_last = os.path.join(cfg.save_dir, "state_last")
+    assert os.path.exists(state_last)
+
+    cfg2 = Config(num_epochs=4, resume=state_last, **common)
+    cfg2.finalize_dirs(root_dir=str(tmp_path))
+    pretrain(cfg2)
+
+    log_dirs = sorted(
+        d for d in os.listdir(cfg2.save_dir) if d.startswith("logs_")
+    )
+    log = open(os.path.join(cfg2.save_dir, log_dirs[-1], "log.txt")).read()
+    assert "resumed" in log
+    assert "epoch 3" in log and "epoch 4" in log
+    assert "epoch 2   train" not in log  # continued, not restarted
+
+
 def test_step_indices_positions():
     from squeezedet_tpu.pretrain import _step_indices
 
