@@ -119,3 +119,53 @@ def test_train_supervisor_resumes(tmp_path):
     assert out.returncode == 0, out.stdout + out.stderr
     assert open(marker).read() == "3"
     assert "resuming from" in out.stdout
+
+
+def test_average_checkpoints(tmp_path):
+    """SWA tool: leaf-wise mean of orbax params checkpoints; refuses
+    structural mismatches; output loads through the normal eval path."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import average_checkpoints as avg
+
+    from squeezedet_tpu.utils.checkpoint import load_params, save_params
+
+    rng = np.random.default_rng(0)
+    trees = []
+    for i in range(3):
+        t = {
+            "stem": {"w": rng.normal(size=(3, 3, 3, 8)).astype(np.float32),
+                     "b": rng.normal(size=(8,)).astype(np.float32)},
+            "convdet": {"w": rng.normal(size=(3, 3, 8, 4)).astype(np.float32),
+                        "b": rng.normal(size=(4,)).astype(np.float32)},
+        }
+        trees.append(t)
+        save_params(str(tmp_path / f"model_{i}"), t, epoch=10 * (i + 1))
+
+    out = str(tmp_path / "model_swa")
+    avg.main([str(tmp_path / "model_0"), str(tmp_path / "model_1"),
+              str(tmp_path / "model_2"), "--out", out])
+
+    restored, epoch = load_params(out, trees[0])
+    assert epoch == 30
+    expect = np.mean(
+        [t["stem"]["w"] for t in trees], axis=0, dtype=np.float64
+    ).astype(np.float32)
+    np.testing.assert_allclose(restored["stem"]["w"], expect, rtol=1e-6)
+    expect_b = np.mean(
+        [t["convdet"]["b"] for t in trees], axis=0, dtype=np.float64
+    ).astype(np.float32)
+    np.testing.assert_allclose(restored["convdet"]["b"], expect_b, rtol=1e-6)
+
+    # shape mismatch -> refusal
+    bad = {k: {kk: vv.copy() for kk, vv in v.items()} for k, v in trees[0].items()}
+    bad["stem"]["w"] = np.zeros((3, 3, 3, 16), np.float32)
+    save_params(str(tmp_path / "model_bad"), bad, epoch=1)
+    with pytest.raises(SystemExit, match="shape|structure"):
+        avg.main([str(tmp_path / "model_0"), str(tmp_path / "model_bad"),
+                  "--out", str(tmp_path / "nope")])
+
+    # fewer than two inputs -> refusal
+    with pytest.raises(SystemExit, match="two"):
+        avg.main([str(tmp_path / "model_0"), "--out", str(tmp_path / "nope2")])
