@@ -62,6 +62,10 @@ class Config:
     nms_thresh: float = 0.4
     score_thresh: float = 0.3
     keep_top_k: int = 64
+    tta_flip: bool = False  # flip test-time augmentation: run each batch
+    #   and its horizontal mirror through the forward pass in one dispatch,
+    #   merge through NMS (ops/postprocess.py:postprocess_tta_flip).
+    #   ~2x forward FLOPs per image; no reference counterpart.
     allow_random_weights: bool = False  # let `eval` run without --load_model
     #   (otherwise it refuses: scoring fresh random weights yields a
     #   plausible-looking mAP~0 run that hides the typo)
@@ -184,6 +188,7 @@ _FLAG_HELP = {
     "nms_thresh": "suppress boxes overlapping a kept box with IoU > thresh",
     "score_thresh": "discard detections scoring below this",
     "keep_top_k": "detections kept per image before NMS",
+    "tta_flip": "merge detections from the image and its mirror (2x FLOPs)",
     "mixed_precision": "bf16 backbone compute (fp32 master weights and loss)",
     "data_parallel": "number of devices for SPMD data parallelism (0 = all)",
     "resume": "orbax train-state checkpoint to resume from (with optimizer)",

@@ -29,9 +29,19 @@ class Detector:
         self.task = task
         self.cfg = cfg
         self.anchors = jnp.asarray(cfg.anchors)
-        self.predict = make_predict_step(task)
+        if getattr(cfg, "tta_flip", False):
+            from squeezedet_tpu.parallel.train import make_predict_step_tta
+
+            self.predict = make_predict_step_tta(task)
+        else:
+            self.predict = make_predict_step(task)
         self.serve_uint8 = bool(getattr(cfg, "serve_uint8", True))
         self.serve_int8 = bool(getattr(cfg, "serve_int8", False))
+        if getattr(cfg, "tta_flip", False) and self.serve_int8:
+            raise ValueError(
+                "--tta_flip is not supported with --serve_int8 (the int8 "
+                "path has its own predict program); drop one of the flags"
+            )
         if self.serve_uint8 and self.serve_int8:
             # int8 quantizes whitened float inputs, so it overrides the
             # (default-on) uint8 ingest rather than conflicting with it

@@ -79,7 +79,16 @@ def postprocess(
     """
     resolved = resolve(pred, anchors, input_size, num_classes)
     det = fuse_detections(resolved)
+    return _filter_detections(det, top_k, nms_thresh, score_thresh)
 
+
+def _filter_detections(
+    det: dict[str, jnp.ndarray],
+    top_k: int,
+    nms_thresh: float,
+    score_thresh: float,
+) -> dict[str, jnp.ndarray]:
+    """Fused detections (B, N) -> top-K -> class-wise NMS -> threshold."""
     scores, order = lax.top_k(det["scores"], top_k)  # (B, K), sorted desc
     boxes = jnp.take_along_axis(det["boxes"], order[..., None], axis=1)
     class_ids = jnp.take_along_axis(det["class_ids"], order, axis=1)
@@ -90,3 +99,57 @@ def postprocess(
     keep = nms_keep & (scores > score_thresh)
 
     return {"boxes": boxes, "scores": scores, "class_ids": class_ids, "keep": keep}
+
+
+def unflip_boxes(boxes: jnp.ndarray, image_width: int) -> jnp.ndarray:
+    """Mirror xyxy boxes back across the vertical axis of a width-
+    ``image_width`` image, with the same inclusive-pixel convention as the
+    host flip (core/image.py:118-122; reference src/utils/image.py:53-74).
+    An involution: ``unflip(unflip(b)) == b``."""
+    x1, y1, x2, y2 = jnp.split(boxes, 4, axis=-1)
+    return jnp.concatenate(
+        [image_width - 1 - x2, y1, image_width - 1 - x1, y2], axis=-1
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "input_size",
+        "num_classes",
+        "top_k",
+        "nms_thresh",
+        "score_thresh",
+    ),
+)
+def postprocess_tta_flip(
+    pred: jnp.ndarray,
+    pred_flip: jnp.ndarray,
+    anchors: jnp.ndarray,
+    *,
+    input_size: tuple[int, int],
+    num_classes: int,
+    top_k: int = 64,
+    nms_thresh: float = 0.4,
+    score_thresh: float = 0.3,
+) -> dict[str, jnp.ndarray]:
+    """Merge detections from an image and its horizontal mirror (flip TTA).
+
+    ``pred_flip`` is the raw head output of the *mirrored* batch; its
+    decoded boxes are mirrored back into the original frame, the two
+    candidate sets are unioned along the anchor axis (B, 2A), and the
+    standard top-K/NMS/threshold filter dedupes agreeing boxes (the same
+    object found by both passes collapses to the higher-scored one). The
+    output contract is identical to :func:`postprocess`, so every consumer
+    (Detector tail, serving export) works unchanged. TTA has no reference
+    counterpart — it is a capability surplus of this framework.
+    """
+    det = fuse_detections(resolve(pred, anchors, input_size, num_classes))
+    det_f = fuse_detections(resolve(pred_flip, anchors, input_size, num_classes))
+    det_f = {**det_f, "boxes": unflip_boxes(det_f["boxes"], input_size[1])}
+
+    merged = {
+        k: jnp.concatenate([det[k], det_f[k]], axis=1)
+        for k in ("boxes", "scores", "class_ids")
+    }
+    return _filter_detections(merged, top_k, nms_thresh, score_thresh)

@@ -228,17 +228,22 @@ def test_pretrain_resume(tmp_path):
     data_dir = str(tmp_path / "crops")
     _write_crop_dataset(data_dir, n_train=64, n_val=32)
     common = dict(
-        mode="pretrain", exp_id="pretrain_resume", data_dir=data_dir,
+        mode="pretrain", data_dir=data_dir,
         lr=0.01, batch_size=16, val_intervals=2, save_intervals=2,
         dropout_prob=0.0, seed=3,
     )
-    cfg = Config(num_epochs=2, **common)
+    cfg = Config(num_epochs=2, exp_id="pretrain_resume", **common)
     cfg.finalize_dirs(root_dir=str(tmp_path))
     pretrain(cfg)
     state_last = os.path.join(cfg.save_dir, "state_last")
     assert os.path.exists(state_last)
 
-    cfg2 = Config(num_epochs=4, resume=state_last, **common)
+    # separate exp dir: both runs can start within the same wall-clock
+    # minute (warm compile cache), which would merge their timestamped
+    # logs_* dirs and poison the log assertions below
+    cfg2 = Config(
+        num_epochs=4, resume=state_last, exp_id="pretrain_resume2", **common
+    )
     cfg2.finalize_dirs(root_dir=str(tmp_path))
     pretrain(cfg2)
 

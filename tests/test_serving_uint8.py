@@ -74,3 +74,29 @@ def test_raw_inference_item_dtype(tmp_path):
     std = ds.inference_item(0)
     assert std["image"].dtype == np.float32
     assert "rgb_mean" in std["image_meta"]
+
+
+def test_tta_flip_detector_smoke(tmp_path):
+    """--tta_flip through the real Detector on the uint8 default path:
+    runs end-to-end, returns one result per image, boxes in original
+    coordinates; int8 + TTA is refused."""
+    _make_kitti_tree(str(tmp_path / "data"))
+
+    cfg = _cfg(tmp_path, tta_flip=True)
+    ds = TinyKITTI("val", cfg)
+    cfg.update_dataset_info(ds)
+    task = build_task(cfg)
+    params = jax.tree.map(
+        lambda a: a * 30.0, init_params(jax.random.PRNGKey(0), task.model)
+    )
+    det = Detector(params, task, cfg)
+    results = det.detect_dataset(ds)
+    assert len(results) == 4
+    for r in results:
+        for b in r.get("boxes", ()):
+            assert b[0] <= b[2] and b[1] <= b[3]
+
+    cfg_bad = _cfg(tmp_path, tta_flip=True, serve_int8=True)
+    cfg_bad.update_dataset_info(ds)
+    with pytest.raises(ValueError, match="tta_flip"):
+        Detector(params, task, cfg_bad)
