@@ -112,7 +112,8 @@ class DeviceTrainer:
                 hw_val, n_valid=len(self._val_ids),
             )
             self.predict_epoch_fn, _ = make_predict_epoch(
-                task, spec, mesh, anchors_np, n_loc_val, cfg.batch_size, hw_val
+                task, spec, mesh, anchors_np, n_loc_val, cfg.batch_size,
+                hw_val, tta_flip=bool(getattr(cfg, "tta_flip", False)),
             )
 
         self.state = replicate(self.mesh, init_train_state(params, task))

@@ -311,10 +311,15 @@ def make_val_epoch(task: TaskSpec, spec: EpochSpec, mesh, anchors_np,
 
 def make_predict_epoch(task: TaskSpec, spec: EpochSpec, mesh,
                        anchors_np, n_loc: int, batch_size: int,
-                       img_hw: tuple[int, int]):
+                       img_hw: tuple[int, int], tta_flip: bool = False):
     """One dispatch = detections for the whole resident val set: resize-only
     preprocessing then forward + on-device postprocess; returns fixed-shape
-    {boxes, scores, class_ids, keep} stacked to (steps, B, K, ...)."""
+    {boxes, scores, class_ids, keep} stacked to (steps, B, K, ...).
+    ``tta_flip`` swaps in the flip-TTA batch (parallel/train.py:
+    _predict_batch_tta) so --device_data eval honors --tta_flip."""
+    from squeezedet_tpu.parallel.train import _predict_batch_tta
+
+    batch_fn = _predict_batch_tta if tta_flip else _predict_batch
     ndev = mesh.size
     b_loc = batch_size // ndev
     steps = (n_loc * ndev) // batch_size
@@ -346,7 +351,7 @@ def make_predict_epoch(task: TaskSpec, spec: EpochSpec, mesh,
                 images_raw, sizes, aug, spec.out_size, pad_value=mean
             )
             images = (images - mean) / std
-            return None, _predict_batch(params, images, anchors_xywh, task)
+            return None, batch_fn(params, images, anchors_xywh, task)
 
         _, dets = lax.scan(body, None, jnp.asarray(idx_all))
         return dets

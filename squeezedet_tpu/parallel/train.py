@@ -197,30 +197,36 @@ def make_predict_step(task: TaskSpec):
     return predict_step
 
 
-def make_predict_step_tta(task: TaskSpec):
-    """Flip-TTA predict step: one dispatch runs the batch and its
-    horizontal mirror through the forward pass, mirrors the second pass's
-    boxes back, and merges both candidate sets through the standard
-    top-K/NMS/threshold filter (ops/postprocess.py:postprocess_tta_flip).
-    Same output contract as make_predict_step; ~2x forward FLOPs."""
+def _predict_batch_tta(params, images, anchors, task: TaskSpec):
+    """Flip-TTA batch: the batch and its horizontal mirror both run the
+    forward pass; the mirrored pass's boxes are flipped back and the two
+    candidate sets merge through the standard top-K/NMS/threshold filter
+    (ops/postprocess.py:postprocess_tta_flip). Same output contract as
+    _predict_batch; ~2x forward FLOPs."""
     from squeezedet_tpu.ops.postprocess import postprocess_tta_flip
+
+    pred = forward(params, images, task.model, training=False)
+    pred_flip = forward(
+        params, images[:, :, ::-1, :], task.model, training=False
+    )
+    return postprocess_tta_flip(
+        pred,
+        pred_flip,
+        anchors,
+        input_size=task.input_size,
+        num_classes=task.model.num_classes,
+        top_k=task.top_k,
+        nms_thresh=task.nms_thresh,
+        score_thresh=task.score_thresh,
+    )
+
+
+def make_predict_step_tta(task: TaskSpec):
+    """Jitted flip-TTA predict step (see _predict_batch_tta)."""
 
     @jax.jit
     def predict_step_tta(params, images, anchors):
-        pred = forward(params, images, task.model, training=False)
-        pred_flip = forward(
-            params, images[:, :, ::-1, :], task.model, training=False
-        )
-        return postprocess_tta_flip(
-            pred,
-            pred_flip,
-            anchors,
-            input_size=task.input_size,
-            num_classes=task.model.num_classes,
-            top_k=task.top_k,
-            nms_thresh=task.nms_thresh,
-            score_thresh=task.score_thresh,
-        )
+        return _predict_batch_tta(params, images, anchors, task)
 
     return predict_step_tta
 

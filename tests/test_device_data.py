@@ -518,3 +518,60 @@ def test_device_data_mixed_image_sizes():
             dets["scores"][step][pos][k], ref["scores"][i][k],
             rtol=1e-4, atol=1e-4, err_msg=f"sample {i}",
         )
+
+
+def test_predict_epoch_tta_matches_host_tta_step():
+    """make_predict_epoch(tta_flip=True) on the 8-device mesh must equal
+    the host flip-TTA predict step per image (same identity mapping as the
+    plain path)."""
+    from squeezedet_tpu.parallel.train import _predict_batch_tta
+
+    assert len(jax.devices()) >= 8
+    mesh = make_mesh(8)
+    task = _task()
+    spec = _spec()
+    rng = np.random.RandomState(31)
+    n = 8
+    hs, ws = 80, 140
+    images = rng.randint(0, 256, (n, hs, ws, 3)).astype(np.uint8)
+    sizes = np.tile(np.array([[hs, ws]], np.int32), (n, 1))
+    staged = StagedArrays(
+        images=images,
+        boxes=np.zeros((n, 4, 4), np.float32),
+        class_ids=np.zeros((n, 4), np.int32),
+        counts=np.zeros((n,), np.int32),
+        sizes=sizes,
+        sample_ids=[f"{i:06d}" for i in range(n)],
+    )
+    data, n_loc, hw = put_device_data(mesh, staged, pad_to_batch=8)
+    fn, steps = make_predict_epoch(
+        task, spec, mesh, ANCHORS, n_loc, 8, hw, tta_flip=True
+    )
+    params = init_params(jax.random.PRNGKey(7), task.model)
+    dets = jax.device_get(fn(replicate(mesh, params), data))
+
+    mean = jnp.asarray(spec.rgb_mean, jnp.float32)
+    std = jnp.asarray(spec.rgb_std, jnp.float32)
+    aug = {
+        "dy": jnp.zeros((n,), jnp.int32),
+        "dx": jnp.zeros((n,), jnp.int32),
+        "flip": jnp.zeros((n,), bool),
+    }
+    warped = warp_batch(
+        jnp.asarray(images), jnp.asarray(sizes), aug, spec.out_size,
+        pad_value=mean,
+    )
+    ref = jax.device_get(_predict_batch_tta(
+        params, (warped - mean) / std, jnp.asarray(ANCHORS), task
+    ))
+    b_loc = 8 // mesh.size
+    for i in range(n):
+        step, pos = locate_sample(i, n_loc, b_loc)
+        np.testing.assert_array_equal(
+            dets["keep"][step][pos], ref["keep"][i], err_msg=f"sample {i}"
+        )
+        k = ref["keep"][i]
+        np.testing.assert_allclose(
+            dets["boxes"][step][pos][k], ref["boxes"][i][k],
+            rtol=1e-4, atol=1e-3, err_msg=f"sample {i}",
+        )
