@@ -20,8 +20,14 @@ def run() -> None:
     init_env(cfg)
 
     from squeezedet_tpu.utils.cache import enable_compilation_cache
+    from squeezedet_tpu.utils.misc import guarded_backend_init
 
     enable_compilation_cache()
+    # Backend init can wedge like any other relay RPC; guard it before any
+    # mode touches a device. Normal init is seconds; reuse the dispatch
+    # watchdog flag (0 disables) with a tighter ceiling.
+    timeout_s = float(getattr(cfg, "dispatch_timeout_s", 600.0))
+    guarded_backend_init(min(180.0, timeout_s) if timeout_s > 0 else 0.0)
     print("results dir:", cfg.save_dir)
 
     if cfg.mode == "train":

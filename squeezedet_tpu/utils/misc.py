@@ -50,6 +50,52 @@ def init_env(cfg) -> None:
         )
 
 
+def guarded_backend_init(timeout_s: float = 180.0) -> None:
+    """Force JAX backend initialization under a hang watchdog.
+
+    Production failure mode (observed plus_ft300 epoch 287 resume): the
+    axon relay wedges the backend-init RPC itself, so the process blocks
+    inside the first `jax.devices()` BEFORE the dispatch watchdog
+    (engine/device_trainer.py:_fetch_guarded) can ever arm. Init runs in
+    a daemon thread; on timeout we exit crash-only (the wedged RPC cannot
+    be cancelled in-process) so the supervisor
+    (tools/train_supervisor.py) relaunches with --resume. 0 disables.
+    """
+    if timeout_s <= 0:
+        return
+    import os
+    import queue
+    import sys
+    import threading
+
+    out: queue.Queue = queue.Queue(maxsize=1)
+
+    def work():
+        try:
+            import jax
+
+            out.put((True, len(jax.devices())))
+        except BaseException as e:  # surface init errors to the caller
+            out.put((False, e))
+
+    threading.Thread(target=work, daemon=True).start()
+    try:
+        ok, result = out.get(timeout=timeout_s)
+    except queue.Empty:
+        print(
+            f"[init-watchdog] JAX backend init stalled > {timeout_s:.0f}s "
+            "— the TPU relay has likely wedged the init RPC (known axon "
+            "pathology, see CLAUDE.md). Exiting crash-only so a "
+            "supervisor can retry.",
+            flush=True,
+        )
+        sys.stdout.flush()
+        sys.stderr.flush()
+        os._exit(14)
+    if not ok:
+        raise result
+
+
 def load_dataset(name: str):
     if name.lower() == "kitti":
         from squeezedet_tpu.data.kitti import KITTI

@@ -114,3 +114,47 @@ def test_device_trainer_dispatch_watchdog(monkeypatch):
     )
     with pytest.raises(RuntimeError, match="resume"):
         trainer._fetch_guarded({"loss": None}, epoch=7)
+
+
+def test_guarded_backend_init_fast_path():
+    """Normal init (backend already up on the CPU test mesh) returns."""
+    from squeezedet_tpu.utils.misc import guarded_backend_init
+
+    guarded_backend_init(30.0)  # must not raise or exit
+    guarded_backend_init(0.0)   # disabled: no-op
+
+
+def test_guarded_backend_init_propagates_errors(monkeypatch):
+    """A backend that fails (vs hangs) must surface the real exception."""
+    from squeezedet_tpu.utils.misc import guarded_backend_init
+
+    def boom():
+        raise RuntimeError("no backend for you")
+
+    monkeypatch.setattr(jax, "devices", boom)
+    with pytest.raises(RuntimeError, match="no backend"):
+        guarded_backend_init(30.0)
+
+
+def test_guarded_backend_init_exits_on_wedge():
+    """A wedged init RPC must exit crash-only rc=14 (supervisor restarts);
+    observed in production: the relay wedged the init RPC itself on the
+    plus_ft300 epoch-287 resume, before the dispatch watchdog could arm."""
+    import os
+    import subprocess
+    import sys
+
+    code = (
+        "import time, jax\n"
+        "jax.devices = lambda: time.sleep(60)\n"
+        "from squeezedet_tpu.utils.misc import guarded_backend_init\n"
+        "guarded_backend_init(0.3)\n"
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", code],
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env={**os.environ, "JAX_PLATFORMS": "cpu"},
+        capture_output=True, text=True, timeout=120,
+    )
+    assert proc.returncode == 14, proc.stderr
+    assert "init-watchdog" in proc.stdout
