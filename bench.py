@@ -59,20 +59,45 @@ def _ensure_backend() -> None:
     """The TPU relay admits one claimant; if another process (even a
     CPU-only pytest, which still dials at interpreter start) held it when
     we launched, backend registration failed permanently for this process
-    — re-exec ourselves a few times before giving up."""
-    import jax
+    — re-exec ourselves a few times before giving up. The relay can also
+    wedge the init RPC itself (hang, not fail — observed in production,
+    see utils/misc.guarded_backend_init), so init runs in a daemon thread
+    under a timeout and a stall re-execs the same retry loop; bench must
+    exit rather than hang the round driver."""
+    import queue
+    import threading
 
+    out: queue.Queue = queue.Queue(maxsize=1)
+
+    def work():
+        try:
+            import jax
+
+            out.put((True, len(jax.devices())))
+        except BaseException as e:
+            out.put((False, e))
+
+    threading.Thread(target=work, daemon=True).start()
+    timeout_s = float(os.environ.get("SQDT_BENCH_INIT_TIMEOUT_S", "180"))
     try:
-        jax.devices()
+        ok, res = out.get(timeout=timeout_s)
+    except queue.Empty:
+        ok = False
+        res = RuntimeError(f"backend init stalled > {timeout_s:.0f}s "
+                           "(relay wedge)")
+    if ok:
         return
-    except RuntimeError as e:
-        retries = int(os.environ.get("SQDT_BENCH_RETRY", "0"))
-        if retries >= 5:
-            raise
-        print(f"[bench] backend init failed ({e}); retrying in 30s", file=sys.stderr)
-        os.environ["SQDT_BENCH_RETRY"] = str(retries + 1)
-        time.sleep(30)
-        os.execv(sys.executable, [sys.executable] + sys.argv)
+    retries = int(os.environ.get("SQDT_BENCH_RETRY", "0"))
+    if retries >= 5:
+        print(f"[bench] backend init failed after {retries} retries: {res}",
+              file=sys.stderr)
+        sys.stderr.flush()
+        # crash-only: a wedged init RPC thread would block normal exit
+        os._exit(14)
+    print(f"[bench] backend init failed ({res}); retrying in 30s", file=sys.stderr)
+    os.environ["SQDT_BENCH_RETRY"] = str(retries + 1)
+    time.sleep(30)
+    os.execv(sys.executable, [sys.executable] + sys.argv)
 
 
 def main() -> None:

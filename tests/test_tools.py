@@ -121,6 +121,79 @@ def test_train_supervisor_resumes(tmp_path):
     assert "resuming from" in out.stdout
 
 
+def test_train_supervisor_budget_resets_on_progress(tmp_path):
+    """--max_restarts bounds CONSECUTIVE no-progress failures: a run that
+    keeps advancing state_last must survive more crashes than the budget
+    (production: a relay outage must not spend the restarts a long run
+    still needs)."""
+    import subprocess
+    import sys
+
+    state = tmp_path / "exp" / "run2" / "state_last"
+    marker = tmp_path / "attempts.txt"
+    # fake trainer: ALWAYS advances state_last (adds a new entry so the
+    # dir mtime moves), crashes 4x, succeeds on the 5th; budget is 1
+    fake = tmp_path / "fake_train.py"
+    fake.write_text(
+        "import os, sys, time\n"
+        f"m = {str(marker)!r}\n"
+        "n = int(open(m).read()) if os.path.exists(m) else 0\n"
+        "open(m, 'w').write(str(n + 1))\n"
+        f"os.makedirs({str(state)!r}, exist_ok=True)\n"
+        f"open(os.path.join({str(state)!r}, 'tick%d' % n), 'w').close()\n"
+        "time.sleep(0.01)\n"
+        "sys.exit(0 if n >= 4 else 3)\n"
+    )
+    out = subprocess.run(
+        [
+            sys.executable, "tools/train_supervisor.py",
+            "--max_restarts", "1", "--retry_delay_s", "0.05",
+            "--train_cmd", f"{sys.executable} {fake}",
+            "--",
+            "--exp_id", "run2", "--save_dir", str(tmp_path / "exp" / "run2"),
+        ],
+        capture_output=True, text=True, cwd=os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert out.returncode == 0, out.stdout + out.stderr
+    assert open(marker).read() == "5"
+
+
+def test_train_supervisor_gives_up_without_progress(tmp_path):
+    """Consecutive failures that never advance state_last exhaust the
+    budget (a permanently broken run must not loop forever)."""
+    import subprocess
+    import sys
+
+    state = tmp_path / "exp" / "run3" / "state_last"
+    marker = tmp_path / "attempts.txt"
+    fake = tmp_path / "fake_train.py"
+    fake.write_text(
+        "import os, sys\n"
+        f"m = {str(marker)!r}\n"
+        "n = int(open(m).read()) if os.path.exists(m) else 0\n"
+        "open(m, 'w').write(str(n + 1))\n"
+        f"os.makedirs({str(state)!r}, exist_ok=True)\n"
+        "sys.exit(3)\n"
+    )
+    out = subprocess.run(
+        [
+            sys.executable, "tools/train_supervisor.py",
+            "--max_restarts", "2", "--retry_delay_s", "0.05",
+            "--train_cmd", f"{sys.executable} {fake}",
+            "--",
+            "--exp_id", "run3", "--save_dir", str(tmp_path / "exp" / "run3"),
+        ],
+        capture_output=True, text=True, cwd=os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert out.returncode == 1
+    assert "budget exhausted" in out.stdout
+    # attempt 0 created state_last (= progress, resets); then 3
+    # consecutive no-progress failures spend budget 0/1/2 -> give up
+    assert open(marker).read() == "4"
+
+
 def test_average_checkpoints(tmp_path):
     """SWA tool: leaf-wise mean of orbax params checkpoints; refuses
     structural mismatches; output loads through the normal eval path."""
@@ -169,3 +242,28 @@ def test_average_checkpoints(tmp_path):
     # fewer than two inputs -> refusal
     with pytest.raises(SystemExit, match="two"):
         avg.main([str(tmp_path / "model_0"), "--out", str(tmp_path / "nope2")])
+
+
+def test_bench_ensure_backend_exits_on_wedge():
+    """bench.py must exit crash-only (rc=14), never hang the round
+    driver, when the relay wedges the backend-init RPC (bench runs
+    standalone, outside main.py's init watchdog)."""
+    import subprocess
+    import sys
+
+    code = (
+        "import time, jax\n"
+        "jax.devices = lambda: time.sleep(60)\n"
+        "import bench\n"
+        "bench._ensure_backend()\n"
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", code],
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env={**os.environ, "JAX_PLATFORMS": "cpu",
+             "SQDT_BENCH_RETRY": "5",
+             "SQDT_BENCH_INIT_TIMEOUT_S": "0.3"},
+        capture_output=True, text=True, timeout=120,
+    )
+    assert proc.returncode == 14, proc.stderr
+    assert "stalled" in proc.stderr

@@ -62,12 +62,27 @@ def main(argv=None) -> int:
         else [sys.executable, os.path.join(REPO, "main.py"), "train"]
     )
 
-    for attempt in range(args.max_restarts + 1):
+    def state_mtime() -> float:
+        try:
+            return os.stat(state_last).st_mtime
+        except OSError:
+            return 0.0
+
+    # --max_restarts bounds CONSECUTIVE no-progress failures, not total
+    # restarts: a relay outage mid-way through a multi-hour run must not
+    # exhaust the budget that a 95%-complete run still needs (observed:
+    # the plus_ft300 outage burned 4 attempts in 15 minutes). Any attempt
+    # that advances state_last resets the counter.
+    attempt, failures = 0, 0
+    while failures <= args.max_restarts:
         cmd = list(base_cmd) + flags
         if attempt > 0 and os.path.isdir(state_last):
             cmd += ["--resume", state_last]
         print(f"[supervisor] attempt {attempt}: {' '.join(cmd)}", flush=True)
+        before = state_mtime()
         rc = subprocess.call(cmd)
+        attempt += 1
+        failures = 0 if state_mtime() > before else failures + 1
         if rc == 0:
             # a relaunch that resumes past the final epoch exits 0
             # immediately, so completion detection needs no metadata
