@@ -85,7 +85,12 @@ class DeviceTrainer:
         # frames can exceed the old hard 16-object cap)
         max_objects = getattr(cfg, "max_objects", 0) or None
         staged_train = stage_dataset(train_dataset, max_objects)
-        self.train_data, n_loc_train, hw_train = put_device_data(mesh, staged_train)
+        # staging H2D is the same wedge-prone relay RPC class as dispatch
+        # readbacks — guard it, or a wedge here hangs before the first
+        # epoch and the supervisor never sees the process die
+        self.train_data, n_loc_train, hw_train = self._guarded(
+            lambda: put_device_data(mesh, staged_train), "train staging H2D"
+        )
         self.val_dataset = val_dataset
         self.val_data = None
         if val_dataset is not None:
@@ -94,8 +99,11 @@ class DeviceTrainer:
             # so every sample id gets a real result file (the reference
             # evaluates every id; empty placeholders only for no-detection
             # frames, src/engine/detector.py:33-35)
-            self.val_data, n_loc_val, hw_val = put_device_data(
-                mesh, staged_val, pad_to_batch=cfg.batch_size
+            self.val_data, n_loc_val, hw_val = self._guarded(
+                lambda: put_device_data(
+                    mesh, staged_val, pad_to_batch=cfg.batch_size
+                ),
+                "val staging H2D",
             )
             self._n_loc_val = n_loc_val
             self._b_loc = cfg.batch_size // mesh.size
@@ -152,19 +160,21 @@ class DeviceTrainer:
             print(msg)
         return out
 
-    def _fetch_guarded(self, stats, epoch):
-        """D2H readback with a hang watchdog.
+    def _guarded(self, fn, what: str):
+        """Run a relay-touching call under a hang watchdog.
 
-        Production failure mode (observed epoch 235 of the hard300 run):
-        a relay RPC wedges forever mid-run, the process blocks silently in
-        device_get and an unattended multi-hour run dies quietly. The
-        readback runs in a worker thread; if it exceeds the timeout we
-        raise loudly with resume instructions instead of hanging. 0
-        disables. The wedged RPC cannot be cancelled in-process (the TPU
-        claim is single-owner), so fail-fast + --resume is the recovery."""
+        Production failure modes: a relay RPC can wedge forever mid-run
+        (observed: D2H readback at hard300 epoch 235, backend init at the
+        plus_ft300 epoch-287 resume) and the H2D staging path is the same
+        class of RPC. The call runs in a worker thread; if it exceeds the
+        timeout we raise loudly with resume instructions instead of
+        hanging — a silent hang evades the supervisor entirely because
+        the process never dies. 0 disables. The wedged RPC cannot be
+        cancelled in-process (the TPU claim is single-owner), so
+        fail-fast + --resume is the recovery."""
         timeout_s = float(getattr(self.cfg, "dispatch_timeout_s", 600.0))
         if timeout_s <= 0:
-            return jax.device_get(stats)
+            return fn()
         # a DAEMON thread, not ThreadPoolExecutor: futures' worker threads
         # are non-daemon and concurrent.futures' atexit hook joins them,
         # so a wedged readback would block interpreter exit right after
@@ -178,7 +188,7 @@ class DeviceTrainer:
 
         def work():
             try:
-                out.put((True, jax.device_get(stats)))
+                out.put((True, fn()))
             except BaseException as e:  # surface device errors too
                 out.put((False, e))
 
@@ -187,15 +197,20 @@ class DeviceTrainer:
             ok, result = out.get(timeout=timeout_s)
         except queue.Empty:
             raise RuntimeError(
-                f"device readback stalled > {timeout_s:.0f}s at epoch "
-                f"{epoch} — the TPU relay RPC has likely wedged "
-                "(known axon pathology, see CLAUDE.md). Kill this "
-                "process and resume with "
+                f"{what} stalled > {timeout_s:.0f}s — the TPU relay RPC "
+                "has likely wedged (known axon pathology, see CLAUDE.md). "
+                "Kill this process and resume with "
                 f"--resume {self.cfg.save_dir}/state_last"
             ) from None
         if not ok:
             raise result
         return result
+
+    def _fetch_guarded(self, stats, epoch):
+        """D2H readback with the hang watchdog (see _guarded)."""
+        return self._guarded(
+            lambda: jax.device_get(stats), f"device readback at epoch {epoch}"
+        )
 
     def train_epoch(self, epoch: int, loader=None) -> dict[str, float]:
         start = time.time()

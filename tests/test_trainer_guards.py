@@ -115,6 +115,18 @@ def test_device_trainer_dispatch_watchdog(monkeypatch):
     with pytest.raises(RuntimeError, match="resume"):
         trainer._fetch_guarded({"loss": None}, epoch=7)
 
+    # the generic guard covers staging H2D too (a wedge before the first
+    # epoch must die loudly — the supervisor can't see a silent hang)
+    with pytest.raises(RuntimeError, match="staging H2D"):
+        trainer._guarded(lambda: _time.sleep(5.0), "train staging H2D")
+
+    # errors inside the guarded call surface as themselves, not timeouts
+    def boom():
+        raise ValueError("bad stage")
+
+    with pytest.raises(ValueError, match="bad stage"):
+        trainer._guarded(boom, "train staging H2D")
+
 
 def test_guarded_backend_init_fast_path():
     """Normal init (backend already up on the CPU test mesh) returns."""

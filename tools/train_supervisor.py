@@ -77,6 +77,8 @@ def main(argv=None) -> int:
     while failures <= args.max_restarts:
         cmd = list(base_cmd) + flags
         if attempt > 0 and os.path.isdir(state_last):
+            # appended LAST so argparse last-wins overrides any
+            # user-pinned --resume with the live state on relaunch
             cmd += ["--resume", state_last]
         print(f"[supervisor] attempt {attempt}: {' '.join(cmd)}", flush=True)
         before = state_mtime()
