@@ -81,6 +81,11 @@ class Config:
     not_cuda_benchmark: bool = False
     mixed_precision: bool = False  # bf16 compute in the backbone
     data_parallel: int = 0  # 0 = all visible devices
+    model_parallel: int = 1  # tensor (channel) parallelism: shard every
+    #   fire's squeeze/expand channels over a second mesh axis (Megatron
+    #   column/row plan, parallel/tensor.py). Total devices used =
+    #   data_parallel x model_parallel. 1 disables. Host-loader path only
+    #   (--device_data keeps its own data-parallel epoch program).
     prefetch: int = 2  # device prefetch depth
     steps_per_dispatch: int = 4  # train steps fused into one dispatch via
     #   lax.scan — amortizes the host->device dispatch round-trip (≈28 ms
@@ -191,6 +196,7 @@ _FLAG_HELP = {
     "tta_flip": "merge detections from the image and its mirror (2x FLOPs)",
     "mixed_precision": "bf16 backbone compute (fp32 master weights and loss)",
     "data_parallel": "number of devices for SPMD data parallelism (0 = all)",
+    "model_parallel": "devices for tensor (channel) parallelism; 1 = off",
     "resume": "orbax train-state checkpoint to resume from (with optimizer)",
 }
 

@@ -37,22 +37,42 @@ class Trainer:
     def __init__(self, params, task: TaskSpec, cfg, mesh=None):
         self.task = task
         self.cfg = cfg
+        n_model = max(1, int(getattr(cfg, "model_parallel", 1)))
         if mesh is None:
             n = cfg.data_parallel
             if n == 0:
                 # auto: largest device count that divides the batch evenly
-                n = len(jax.devices())
+                n = len(jax.devices()) // n_model
                 while cfg.batch_size % n != 0:
                     n -= 1
-            mesh = make_mesh(n)
+            if n_model > 1:
+                from squeezedet_tpu.parallel.tensor import make_tp_mesh
+
+                mesh = make_tp_mesh(n, n_model)
+            else:
+                mesh = make_mesh(n)
         self.mesh = mesh
-        if cfg.batch_size % self.mesh.size != 0:
+        self.n_data = (
+            self.mesh.shape["data"] if "data" in self.mesh.axis_names
+            else self.mesh.size
+        )
+        if cfg.batch_size % self.n_data != 0:
             raise ValueError(
-                f"batch_size {cfg.batch_size} not divisible by mesh size "
-                f"{self.mesh.size}"
+                f"batch_size {cfg.batch_size} not divisible by the data axis "
+                f"({self.n_data} devices)"
             )
 
-        self.state = replicate(self.mesh, init_train_state(params, task))
+        if n_model > 1:
+            # tensor parallelism: weights channel-sharded on the model axis
+            # (Megatron column/row plan, parallel/tensor.py), batch sharded
+            # on the data axis — a 2-D (data, model) mesh
+            from squeezedet_tpu.parallel.tensor import shard_train_state_tp
+
+            self.state = shard_train_state_tp(
+                self.mesh, init_train_state(params, task), task.model.arch
+            )
+        else:
+            self.state = replicate(self.mesh, init_train_state(params, task))
         self.anchors = replicate(self.mesh, jnp.asarray(cfg.anchors))
         self.rng = replicate(self.mesh, jax.random.PRNGKey(cfg.seed))
         self.rgb_stats = None
@@ -66,11 +86,23 @@ class Trainer:
                     ]
                 ),
             )
-        self.train_step = make_train_step(task)
         self.k_dispatch = max(1, int(getattr(cfg, "steps_per_dispatch", 1)))
-        self.train_step_multi = (
-            make_train_step_multi(task) if self.k_dispatch > 1 else None
-        )
+        if n_model > 1:
+            from squeezedet_tpu.parallel.tensor import (
+                make_tp_train_step,
+                make_tp_train_step_multi,
+            )
+
+            self.train_step = make_tp_train_step(task, self.mesh, self.state)
+            self.train_step_multi = (
+                make_tp_train_step_multi(task, self.mesh, self.state)
+                if self.k_dispatch > 1 else None
+            )
+        else:
+            self.train_step = make_train_step(task)
+            self.train_step_multi = (
+                make_train_step_multi(task) if self.k_dispatch > 1 else None
+            )
         self.val_step = make_val_step(task)
         self.metrics = list(METRICS)
 

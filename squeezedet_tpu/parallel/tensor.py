@@ -163,3 +163,34 @@ def make_tp_train_step(task: TaskSpec, mesh: Mesh, state: TrainState):
         return _sgd_step(state, images, gt, anchors, lr, rng, task, tx, rgb_stats)
 
     return train_step
+
+
+def make_tp_train_step_multi(task: TaskSpec, mesh: Mesh, state: TrainState):
+    """TP twin of parallel.train.make_train_step_multi: k optimizer steps in
+    ONE dispatch (lax.scan over k pre-staged batches), out_shardings pinned
+    to the channel plan so the fused dispatch is sharding-stable too."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    tx = make_optimizer(task)
+    rep = NamedSharding(mesh, P())
+    out_shardings = (
+        _state_shardings(mesh, task.model.arch, state.opt_state),
+        rep,
+    )
+
+    @partial(jax.jit, donate_argnums=(0,), out_shardings=out_shardings)
+    def train_step_multi(state, images_list, gt_list, anchors, lr, rng,
+                         rgb_stats=None):
+        images_k = jnp.stack(images_list)
+        gt_k = jnp.stack(gt_list)
+
+        def body(state, xs):
+            images, gt = xs
+            return _sgd_step(
+                state, images, gt, anchors, lr, rng, task, tx, rgb_stats
+            )
+
+        return lax.scan(body, state, (images_k, gt_k))
+
+    return train_step_multi

@@ -75,6 +75,11 @@ def train(cfg) -> None:
         params, _ = load_any(cfg.load_model, params, task.model)
 
     if cfg.device_data:
+        if getattr(cfg, "model_parallel", 1) > 1:
+            raise ValueError(
+                "--model_parallel applies to the host-loader path only; "
+                "--device_data runs its own data-parallel epoch program"
+            )
         from squeezedet_tpu.engine.device_trainer import DeviceTrainer
 
         trainer = DeviceTrainer(params, task, cfg, train_dataset, val_dataset)

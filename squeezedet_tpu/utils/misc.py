@@ -39,6 +39,17 @@ def init_env(cfg) -> None:
 
     import os
 
+    platform = os.environ.get("SQDT_PLATFORM")
+    if platform:
+        # run the CLI on an explicit backend (e.g. SQDT_PLATFORM=cpu with
+        # XLA_FLAGS=--xla_force_host_platform_device_count=8 for a virtual
+        # mesh). Env vars alone cannot override this container's
+        # sitecustomize-pinned 'axon' platform; jax.config.update before
+        # first backend use can (tests/conftest.py does the same).
+        import jax
+
+        jax.config.update("jax_platforms", platform)
+
     coordinator = os.environ.get("SQDT_COORDINATOR")
     if coordinator:
         import jax
