@@ -86,6 +86,13 @@ class Config:
     #   column/row plan, parallel/tensor.py). Total devices used =
     #   data_parallel x model_parallel. 1 disables. Host-loader path only
     #   (--device_data keeps its own data-parallel epoch program).
+    grad_accum: int = 1  # gradient accumulation: split each batch into N
+    #   sequential microbatch backwards and update once on the mean grad —
+    #   train effective batches that don't fit in HBM. 1 disables.
+    remat: bool = False  # rematerialise fire activations in the backward
+    #   (jax.checkpoint): ~1.3x backbone FLOPs for a large activation-
+    #   memory cut; numerically identical. Combine with --grad_accum for
+    #   the biggest effective batches.
     prefetch: int = 2  # device prefetch depth
     steps_per_dispatch: int = 4  # train steps fused into one dispatch via
     #   lax.scan — amortizes the host->device dispatch round-trip (≈28 ms
@@ -197,6 +204,8 @@ _FLAG_HELP = {
     "mixed_precision": "bf16 backbone compute (fp32 master weights and loss)",
     "data_parallel": "number of devices for SPMD data parallelism (0 = all)",
     "model_parallel": "devices for tensor (channel) parallelism; 1 = off",
+    "grad_accum": "microbatch backwards accumulated per optimizer step",
+    "remat": "recompute fire activations in the backward to save HBM",
     "resume": "orbax train-state checkpoint to resume from (with optimizer)",
 }
 

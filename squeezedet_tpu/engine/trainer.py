@@ -87,7 +87,27 @@ class Trainer:
                 ),
             )
         self.k_dispatch = max(1, int(getattr(cfg, "steps_per_dispatch", 1)))
-        if n_model > 1:
+        n_accum = max(1, int(getattr(cfg, "grad_accum", 1)))
+        if n_accum > 1:
+            # gradient accumulation: one update per n_accum microbatch
+            # backwards (make_train_step_accum); the fused-k dispatch is
+            # disabled — the scan over microbatches already amortizes the
+            # dispatch round-trip the same way
+            if n_model > 1:
+                raise ValueError(
+                    "--grad_accum with --model_parallel is not supported yet"
+                )
+            if cfg.batch_size % n_accum:
+                raise ValueError(
+                    f"batch_size {cfg.batch_size} not divisible by "
+                    f"grad_accum {n_accum}"
+                )
+            from squeezedet_tpu.parallel.train import make_train_step_accum
+
+            self.train_step = make_train_step_accum(task, n_accum)
+            self.train_step_multi = None
+            self.k_dispatch = 1
+        elif n_model > 1:
             from squeezedet_tpu.parallel.tensor import (
                 make_tp_train_step,
                 make_tp_train_step_multi,

@@ -94,6 +94,11 @@ class ModelSpec:
     #   fine-tuning parity) | 'he' (fan-in scaled, for from-scratch training
     #   — the reference init leaves a 12-layer net nearly dead at random
     #   init; the reference always starts from ImageNet weights)
+    remat: bool = False  # rematerialise fire activations in the backward
+    #   pass (jax.checkpoint per fire): the bwd recomputes each fire's
+    #   forward instead of keeping its activations live across the whole
+    #   backward — the standard TPU FLOPs-for-HBM trade for big batches /
+    #   high-res inputs. Numerically identical to remat=False.
 
     @property
     def head_channels(self) -> int:
@@ -269,12 +274,15 @@ def forward(
     x = jax.nn.relu(
         _conv(images, params["stem"], stride=stem["stride"], pad=stem["pad"], dtype=dtype)
     )
+    fire = _fire
+    if spec.remat:
+        fire = jax.checkpoint(_fire, static_argnums=(2,))
     fire_i = 0
     for item in arch["body"]:
         if item == "pool":
             x = _maxpool_ceil(x)
         else:
-            x = _fire(x, params[f"fire{fire_i}"], dtype)
+            x = fire(x, params[f"fire{fire_i}"], dtype)
             fire_i += 1
 
     if training and spec.dropout_prob > 0:

@@ -162,6 +162,68 @@ def make_train_step_multi(task: TaskSpec):
     return train_step_multi
 
 
+def make_train_step_accum(task: TaskSpec, n_accum: int):
+    """One optimizer step from ``n_accum`` sequential microbatch backwards
+    (gradient accumulation): the (B, ...) batch splits into n_accum
+    microbatches of B/n_accum, a `lax.scan` accumulates their mean grads
+    (so peak activation memory is one microbatch's), then clip/decay/
+    momentum/update run ONCE on the mean — the standard way to train an
+    effective batch that does not fit in HBM. For equal-size microbatches
+    the mean of microbatch mean-grads equals the full-batch gradient, so
+    this matches make_train_step up to fp reassociation (parity-tested);
+    with dropout the per-microbatch masks differ from one full-batch mask,
+    which only reinterprets the regulariser. Composes with any mesh — the
+    microbatch axis is scanned, the batch axis stays sharded."""
+    assert n_accum >= 1
+    tx = make_optimizer(task)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, images, gt, anchors, lr, rng, rgb_stats=None):
+        b = images.shape[0]
+        if b % n_accum:
+            raise ValueError(f"batch {b} not divisible by grad_accum {n_accum}")
+        mb = b // n_accum
+        images_k = images.reshape(n_accum, mb, *images.shape[1:])
+        gt_k = gt.reshape(n_accum, mb, *gt.shape[1:])
+        dropout_rng = jax.random.fold_in(rng, state.step)
+
+        def micro(carry, xs):
+            grads_acc, stats_acc, i = carry
+            images_i, gt_i = xs
+            (_, stats), grads = jax.value_and_grad(
+                lambda p: _loss_for_batch(
+                    p, images_i, gt_i, anchors, task,
+                    jax.random.fold_in(dropout_rng, i), True, rgb_stats,
+                ),
+                has_aux=True,
+            )(state.params)
+            return (
+                jax.tree.map(jnp.add, grads_acc, grads),
+                jax.tree.map(jnp.add, stats_acc, stats),
+                i + 1,
+            ), None
+
+        zero_grads = jax.tree.map(jnp.zeros_like, state.params)
+        zero_stats = {
+            k: jnp.zeros(()) for k in ("loss", "class_loss", "score_loss", "bbox_loss")
+        }
+        (grads, stats, _), _ = lax.scan(
+            micro,
+            (zero_grads, zero_stats, jnp.zeros((), jnp.int32)),
+            (images_k, gt_k),
+        )
+        scale = 1.0 / n_accum
+        grads = jax.tree.map(lambda g: g * scale, grads)
+        stats = {k: v * scale for k, v in stats.items()}
+
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        updates = jax.tree.map(lambda u: -lr * u, updates)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), stats
+
+    return train_step
+
+
 def make_val_step(task: TaskSpec):
     @jax.jit
     def val_step(params, images, gt, anchors, rgb_stats=None):

@@ -41,6 +41,7 @@ def build_task(cfg) -> TaskSpec:
         dropout_prob=cfg.dropout_prob,
         compute_dtype=jnp.bfloat16 if cfg.mixed_precision else jnp.float32,
         init_scheme=getattr(cfg, "init_scheme", "reference"),
+        remat=getattr(cfg, "remat", False),
     )
     return TaskSpec(
         model=model,

@@ -201,3 +201,126 @@ def test_data_parallel_matches_single_device():
     l8 = jax.tree.leaves(jax.device_get(state8.params))
     for a, b in zip(l1, l8):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+
+def test_remat_grads_match_no_remat():
+    """--remat (jax.checkpoint per fire) must be numerically invisible:
+    same loss, same gradients — only the backward's memory/FLOPs schedule
+    changes."""
+    from dataclasses import replace
+
+    from squeezedet_tpu.parallel.train import _loss_for_batch
+
+    task = _task()
+    task_r = TaskSpec(
+        model=replace(task.model, remat=True),
+        input_size=task.input_size,
+        num_anchors=task.num_anchors,
+    )
+    params = init_params(jax.random.PRNGKey(0), task.model)
+    images, gt = _batch(2, seed=3)
+    anchors = jnp.asarray(ANCHORS)
+
+    def loss_grads(t):
+        return jax.jit(
+            jax.value_and_grad(
+                lambda p: _loss_for_batch(
+                    p, jnp.asarray(images), jnp.asarray(gt), anchors, t,
+                    None, False,
+                )[0]
+            )
+        )(params)
+
+    loss_a, grads_a = loss_grads(task)
+    loss_b, grads_b = loss_grads(task_r)
+    np.testing.assert_allclose(float(loss_a), float(loss_b), rtol=1e-6)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7
+        ),
+        grads_a,
+        grads_b,
+    )
+
+
+def test_grad_accum_matches_full_batch_step():
+    """make_train_step_accum(n) on a (B,) batch == make_train_step on the
+    same batch (mean of equal-size microbatch mean-grads is the full-batch
+    gradient), across 2 optimizer steps with momentum."""
+    from squeezedet_tpu.parallel.train import make_train_step_accum
+
+    task = _task()
+    params_np = jax.tree.map(
+        np.asarray, init_params(jax.random.PRNGKey(0), task.model)
+    )
+    images, gt = _batch(4, seed=4)
+    anchors = jnp.asarray(ANCHORS)
+    rng = jax.random.PRNGKey(5)
+
+    def fresh():
+        return init_train_state(jax.tree.map(jnp.asarray, params_np), task)
+
+    step_full = make_train_step(task)
+    step_accum = make_train_step_accum(task, 2)
+    state_f, state_a = fresh(), fresh()
+    for _ in range(2):
+        state_f, stats_f = step_full(
+            state_f, jnp.asarray(images), jnp.asarray(gt), anchors, 0.01, rng
+        )
+        state_a, stats_a = step_accum(
+            state_a, jnp.asarray(images), jnp.asarray(gt), anchors, 0.01, rng
+        )
+
+    np.testing.assert_allclose(
+        float(stats_a["loss"]), float(stats_f["loss"]), rtol=1e-5
+    )
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-7
+        ),
+        state_a.params,
+        state_f.params,
+    )
+
+
+def test_grad_accum_sharded_matches_single_device():
+    """The accumulation scan composes with the data-parallel mesh: an
+    8-device sharded accum step equals the single-device accum step."""
+    from squeezedet_tpu.parallel.train import make_train_step_accum
+
+    assert len(jax.devices()) >= 8
+    task = _task()
+    params_np = jax.tree.map(
+        np.asarray, init_params(jax.random.PRNGKey(0), task.model)
+    )
+    images, gt = _batch(16, seed=6)
+    anchors_r = jnp.asarray(ANCHORS)
+    rng = jax.random.PRNGKey(7)
+
+    def fresh():
+        return init_train_state(jax.tree.map(jnp.asarray, params_np), task)
+
+    step = make_train_step_accum(task, 2)
+    state_1, stats_1 = step(
+        fresh(), jnp.asarray(images), jnp.asarray(gt), anchors_r, 0.01, rng
+    )
+
+    mesh = make_mesh(8)
+    sharded = shard_batch_arrays(mesh, {"image": images, "gt": gt})
+    state_n, stats_n = step(
+        replicate(mesh, fresh()),
+        sharded["image"],
+        sharded["gt"],
+        replicate(mesh, anchors_r),
+        0.01,
+        replicate(mesh, rng),
+    )
+    np.testing.assert_allclose(
+        float(stats_n["loss"]), float(stats_1["loss"]), rtol=1e-5
+    )
+    for a, b in zip(
+        jax.tree.leaves(state_n.params), jax.tree.leaves(state_1.params)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-7
+        )
