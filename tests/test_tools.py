@@ -194,6 +194,48 @@ def test_train_supervisor_gives_up_without_progress(tmp_path):
     assert open(marker).read() == "4"
 
 
+def test_train_supervisor_outage_retries_do_not_burn_budget(tmp_path):
+    """rc=14 (init watchdog: a positively-identified relay outage) must be
+    retried with backoff WITHOUT spending the restart budget — a multi-hour
+    outage cannot kill a 96%-complete run (production 2026-08-17: 30
+    attempts burned in 3h under the old semantics). Real failures after
+    the outage still count."""
+    import subprocess
+    import sys
+
+    state = tmp_path / "exp" / "run4" / "state_last"
+    marker = tmp_path / "attempts.txt"
+    # fake trainer: 3 outage exits (rc=14) — the first also creates
+    # state_last (progress), the next two hit the outage branch — then one
+    # real failure (rc=3) with budget 0 -> exhausted after exactly 4
+    # launches
+    fake = tmp_path / "fake_train.py"
+    fake.write_text(
+        "import os, sys\n"
+        f"m = {str(marker)!r}\n"
+        "n = int(open(m).read()) if os.path.exists(m) else 0\n"
+        "open(m, 'w').write(str(n + 1))\n"
+        f"os.makedirs({str(state)!r}, exist_ok=True)\n"
+        "sys.exit(14 if n < 3 else 3)\n"
+    )
+    out = subprocess.run(
+        [
+            sys.executable, "tools/train_supervisor.py",
+            "--max_restarts", "0", "--retry_delay_s", "0.05",
+            "--outage_backoff_max_s", "0.1",
+            "--train_cmd", f"{sys.executable} {fake}",
+            "--",
+            "--exp_id", "run4", "--save_dir", str(tmp_path / "exp" / "run4"),
+        ],
+        capture_output=True, text=True, cwd=os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert out.returncode == 1, out.stdout + out.stderr
+    assert open(marker).read() == "4"
+    assert out.stdout.count("not counted against the restart budget") == 2
+    assert "budget exhausted" in out.stdout
+
+
 def test_average_checkpoints(tmp_path):
     """SWA tool: leaf-wise mean of orbax params checkpoints; refuses
     structural mismatches; output loads through the normal eval path."""

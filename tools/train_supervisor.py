@@ -44,6 +44,9 @@ def main(argv=None) -> int:
     ap.add_argument("--max_restarts", type=int, default=10)
     ap.add_argument("--retry_delay_s", type=float, default=30.0,
                     help="pause before relaunch (lets the relay recover)")
+    ap.add_argument("--outage_backoff_max_s", type=float, default=600.0,
+                    help="ceiling for the exponential backoff between "
+                    "init-wedge (rc=14) retries during a relay outage")
     ap.add_argument("--train_cmd", default="",
                     help="override the launched command (testing)")
     ap.add_argument("flags", nargs=argparse.REMAINDER,
@@ -73,7 +76,7 @@ def main(argv=None) -> int:
     # exhaust the budget that a 95%-complete run still needs (observed:
     # the plus_ft300 outage burned 4 attempts in 15 minutes). Any attempt
     # that advances state_last resets the counter.
-    attempt, failures = 0, 0
+    attempt, failures, outage_streak = 0, 0, 0
     while failures <= args.max_restarts:
         cmd = list(base_cmd) + flags
         if attempt > 0 and os.path.isdir(state_last):
@@ -84,7 +87,7 @@ def main(argv=None) -> int:
         before = state_mtime()
         rc = subprocess.call(cmd)
         attempt += 1
-        failures = 0 if state_mtime() > before else failures + 1
+        progressed = state_mtime() > before
         if rc == 0:
             # a relaunch that resumes past the final epoch exits 0
             # immediately, so completion detection needs no metadata
@@ -96,6 +99,28 @@ def main(argv=None) -> int:
                 f"{state_last}; giving up", flush=True,
             )
             return rc
+        if rc == 14 and not progressed:
+            # rc=14 is the init watchdog: the backend-init RPC wedged, a
+            # positively-identified ENVIRONMENT outage, not a training
+            # failure — it must never exhaust the restart budget (observed:
+            # the 2026-08-17 3h outage burned 30 attempts of a 96%-complete
+            # run). Retry forever with exponential backoff so a long outage
+            # costs a handful of probe launches per hour, and the run
+            # resumes by itself the moment the relay returns.
+            outage_streak += 1
+            delay = min(
+                args.retry_delay_s * (2 ** min(outage_streak - 1, 16)),
+                args.outage_backoff_max_s,
+            )
+            print(
+                f"[supervisor] init wedge (rc=14, outage attempt "
+                f"{outage_streak}); retrying in {delay:.0f}s — not counted "
+                f"against the restart budget", flush=True,
+            )
+            time.sleep(delay)
+            continue
+        outage_streak = 0
+        failures = 0 if progressed else failures + 1
         print(
             f"[supervisor] exited rc={rc}; resuming from {state_last} in "
             f"{args.retry_delay_s:.0f}s", flush=True,
