@@ -6,6 +6,7 @@ single-device full-batch gradient (with and without dropout)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from squeezedet_tpu.core.anchors import generate_anchors
 from squeezedet_tpu.core.boxes import xywh_to_xyxy
@@ -27,9 +28,10 @@ INPUT_SIZE = (96, 160)
 ANCHORS = generate_anchors((6, 10), INPUT_SIZE, SEEDS)
 
 
-def _task(dropout=0.0):
+def _task(dropout=0.0, arch="squeezedet"):
     return TaskSpec(
-        model=ModelSpec(num_classes=3, anchors_per_grid=3, dropout_prob=dropout),
+        model=ModelSpec(arch=arch, num_classes=3, anchors_per_grid=3,
+                        dropout_prob=dropout),
         input_size=INPUT_SIZE,
         num_anchors=ANCHORS.shape[0],
     )
@@ -56,8 +58,9 @@ def _merge(stage_grads):
     return out
 
 
-def test_stage_split_is_contiguous_and_balanced():
-    task = _task()
+@pytest.mark.parametrize("arch", ["squeezedet", "squeezedetplus"])
+def test_stage_split_is_contiguous_and_balanced(arch):
+    task = _task(arch=arch)
     for n in (2, 3, 4, 8):
         stages = split_stages(task, n)
         assert len(stages) == n
@@ -73,9 +76,10 @@ def test_stage_split_is_contiguous_and_balanced():
         assert sorted(names) == sorted(params)
 
 
-def test_pipeline_predict_matches_single_device():
+@pytest.mark.parametrize("arch", ["squeezedet", "squeezedetplus"])
+def test_pipeline_predict_matches_single_device(arch):
     assert len(jax.devices()) >= 4
-    task = _task()
+    task = _task(arch=arch)
     params = init_params(jax.random.PRNGKey(0), task.model)
     anchors = jnp.asarray(ANCHORS)
     images, _ = _batch(4)

@@ -34,9 +34,10 @@ INPUT_SIZE = (96, 160)
 ANCHORS = generate_anchors((6, 10), INPUT_SIZE, SEEDS)
 
 
-def _task():
+def _task(arch="squeezedet"):
     return TaskSpec(
-        model=ModelSpec(num_classes=3, anchors_per_grid=3, dropout_prob=0.0),
+        model=ModelSpec(arch=arch, num_classes=3, anchors_per_grid=3,
+                        dropout_prob=0.0),
         input_size=INPUT_SIZE,
         num_anchors=ANCHORS.shape[0],
     )
@@ -56,9 +57,10 @@ def _batch(n, seed=0):
     return images, np.stack(gts)
 
 
-def test_tp_predict_matches_single_device():
+@pytest.mark.parametrize("arch", ["squeezedet", "squeezedetplus"])
+def test_tp_predict_matches_single_device(arch):
     assert len(jax.devices()) >= 8
-    task = _task()
+    task = _task(arch)
     params_np = jax.tree.map(
         np.asarray, init_params(jax.random.PRNGKey(0), task.model)
     )
