@@ -39,6 +39,11 @@ class Config:
 
     # train
     lr: float = 0.01
+    lr_schedule: str = "step"  # step (reference StepLR) | cosine | constant
+    lr_step_size: int = 60  # step schedule: epochs per decay (ref: 60)
+    lr_gamma: float = 0.5  # step schedule: decay factor (ref: 0.5)
+    warmup_epochs: int = 0  # linear lr ramp over the first N epochs
+    min_lr: float = 0.0  # cosine schedule floor (reached at the final epoch)
     momentum: float = 0.9
     weight_decay: float = 0.0001
     grad_norm: float = 5.0
@@ -194,6 +199,9 @@ _FLAG_HELP = {
     "debug": "0: off | 1: visualize preprocessed GT | 2: visualize detections",
     "arch": "model architecture: squeezedet | squeezedetplus",
     "lr": "learning rate (reference default tuned for batch size 32)",
+    "lr_schedule": "step (reference StepLR(60,.5)) | cosine | constant",
+    "warmup_epochs": "linear lr warmup over the first N epochs (0 = off)",
+    "min_lr": "cosine schedule floor, reached at the final epoch",
     "num_iters": "iterations per epoch; -1 = #samples/batch_size",
     "no_eval": "skip mAP evaluation during training",
     "forbid_resize": "use center crop/pad instead of resizing",

@@ -32,7 +32,7 @@ from squeezedet_tpu.parallel.epoch import (
     put_device_data,
 )
 from squeezedet_tpu.parallel.mesh import make_mesh, replicate
-from squeezedet_tpu.parallel.train import TaskSpec, init_train_state, stepLR
+from squeezedet_tpu.parallel.train import TaskSpec, init_train_state, schedule_lr
 
 METRICS = ("loss", "class_loss", "score_loss", "bbox_loss")
 
@@ -133,7 +133,7 @@ class DeviceTrainer:
         return self.state.params
 
     def learning_rate(self, epoch: int) -> float:
-        return stepLR(self.cfg.lr, epoch)
+        return schedule_lr(self.cfg, epoch)
 
     def _summarize(self, stats, phase, epoch, minutes, weights=None):
         """``weights``: optional per-step real-sample counts (val path) so
@@ -220,9 +220,11 @@ class DeviceTrainer:
             self.state, self.train_data, lr, key
         )
         stats = self._fetch_guarded(stats, epoch)  # one D2H sync per epoch
-        return self._summarize(
+        out = self._summarize(
             stats, "train", epoch, (time.time() - start) / 60.0
         )
+        out["lr"] = lr  # observability for --lr_schedule/--warmup_epochs
+        return out
 
     def val_epoch(self, epoch: int, loader=None) -> dict[str, float]:
         start = time.time()

@@ -27,7 +27,7 @@ from squeezedet_tpu.parallel.train import (
     make_train_step,
     make_train_step_multi,
     make_val_step,
-    stepLR,
+    schedule_lr,
 )
 
 METRICS = ("loss", "class_loss", "score_loss", "bbox_loss")
@@ -131,7 +131,7 @@ class Trainer:
         return self.state.params
 
     def learning_rate(self, epoch: int) -> float:
-        return stepLR(self.cfg.lr, epoch)
+        return schedule_lr(self.cfg, epoch)
 
     def _shard(self, batch):
         return shard_batch_arrays(self.mesh, batch)
@@ -232,6 +232,8 @@ class Trainer:
 
         stats_out = {m: sums[m] / max(count, 1) for m in self.metrics}
         stats_out["epoch_time"] = (time.time() - start_time) / 60.0
+        if phase == "train":
+            stats_out["lr"] = lr  # observability for --lr_schedule/--warmup
         return stats_out
 
     def _consume(self, pending, sums, phase, epoch, num_iters):

@@ -15,6 +15,7 @@ steps: lr = lr0 * 0.5^((epoch-1)//60)).
 
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass
 from functools import partial
 from typing import Any, NamedTuple
@@ -70,6 +71,44 @@ def init_train_state(params, task: TaskSpec) -> TrainState:
 def stepLR(base_lr: float, epoch: int, step_size: int = 60, gamma: float = 0.5) -> float:
     """torch StepLR(60, 0.5) schedule evaluated at a 1-indexed epoch."""
     return base_lr * (gamma ** ((epoch - 1) // step_size))
+
+
+def schedule_lr(cfg, epoch: int) -> float:
+    """Epoch learning rate from the config (epoch is 1-indexed).
+
+    The lr is a runtime input to the jitted steps, so schedules are pure
+    host functions — no recompiles, no optimizer-state coupling. Default is
+    the reference's StepLR(60, 0.5) (src/train.py:36-38); --lr_schedule
+    cosine and --warmup_epochs have no reference counterpart (standard
+    detection recipes; useful for from-scratch --init_scheme he runs where
+    the first epochs are the unstable ones).
+
+    - warmup: linear ramp hitting the base lr AT epoch == warmup_epochs.
+    - step: gamma**((e-1)//step_size) counted from the first post-warmup
+      epoch, so warmup_epochs=0 is bit-identical to the reference schedule.
+    - cosine: half-cosine from the base lr (first post-warmup epoch) to
+      min_lr (final epoch).
+    """
+    base = cfg.lr
+    warm = int(getattr(cfg, "warmup_epochs", 0))
+    if warm > 0 and epoch <= warm:
+        return base * epoch / warm
+    kind = getattr(cfg, "lr_schedule", "step")
+    e = epoch - warm  # 1-indexed within the post-warmup phase
+    if kind == "step":
+        return stepLR(
+            base, e,
+            int(getattr(cfg, "lr_step_size", 60)),
+            float(getattr(cfg, "lr_gamma", 0.5)),
+        )
+    if kind == "cosine":
+        min_lr = float(getattr(cfg, "min_lr", 0.0))
+        total = max(int(cfg.num_epochs) - warm, 1)
+        t = (e - 1) / max(total - 1, 1)  # 0 at first post-warmup, 1 at last
+        return min_lr + (base - min_lr) * 0.5 * (1.0 + math.cos(math.pi * t))
+    if kind == "constant":
+        return base
+    raise ValueError(f"unknown --lr_schedule {kind!r} (step | cosine | constant)")
 
 
 def _whiten_on_device(images, rgb_stats):

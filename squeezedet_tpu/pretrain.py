@@ -37,7 +37,7 @@ from squeezedet_tpu.models.classifier import (
     init_classifier_params,
 )
 from squeezedet_tpu.parallel.mesh import make_mesh
-from squeezedet_tpu.parallel.train import TrainState, make_optimizer, stepLR
+from squeezedet_tpu.parallel.train import TrainState, make_optimizer, schedule_lr
 from squeezedet_tpu.utils.checkpoint import (
     load_train_state,
     save_params,
@@ -223,7 +223,7 @@ def pretrain(cfg) -> None:
             .reshape(steps, cfg.batch_size)
             .astype(np.int32)
         )
-        lr = stepLR(cfg.lr, epoch)
+        lr = schedule_lr(cfg, epoch)
         state, stats = epoch_fn(
             state, train_images, train_labels, perm,
             jnp.float32(lr), jax.random.fold_in(root, epoch),

@@ -52,6 +52,8 @@ class Logger:
             history[metric] = float(value)
             if "time" in metric:
                 parts.append(f"| {metric} {value:.2f}min")
+            elif metric == "lr":
+                parts.append(f"| lr {value:.2e}")  # decayed lrs underflow .3f
             else:
                 parts.append(f"| {metric} {value:.3f}")
         self.write(" ".join(parts))

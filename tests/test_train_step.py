@@ -18,6 +18,7 @@ from squeezedet_tpu.parallel.train import (
     make_train_step,
     make_train_step_multi,
     make_val_step,
+    schedule_lr,
     stepLR,
 )
 
@@ -48,6 +49,53 @@ def test_steplr_schedule():
     assert stepLR(0.01, 60) == 0.01
     assert stepLR(0.01, 61) == 0.005
     assert stepLR(0.01, 121) == 0.0025
+
+
+class _SchedCfg:
+    lr = 0.01
+    lr_schedule = "step"
+    lr_step_size = 60
+    lr_gamma = 0.5
+    warmup_epochs = 0
+    min_lr = 0.0
+    num_epochs = 300
+
+
+def test_schedule_lr_step_matches_reference_steplr():
+    cfg = _SchedCfg()
+    for e in (1, 59, 60, 61, 120, 121, 300):
+        assert schedule_lr(cfg, e) == stepLR(cfg.lr, e)
+
+
+def test_schedule_lr_warmup_ramps_then_hands_off():
+    cfg = _SchedCfg()
+    cfg.warmup_epochs = 5
+    ramp = [schedule_lr(cfg, e) for e in range(1, 6)]
+    assert ramp == sorted(ramp) and ramp[-1] == cfg.lr
+    assert ramp[0] == pytest.approx(cfg.lr / 5)
+    # post-warmup step schedule counts from the first post-warmup epoch:
+    # decay boundary shifts by warmup_epochs
+    assert schedule_lr(cfg, 65) == cfg.lr
+    assert schedule_lr(cfg, 66) == cfg.lr * 0.5
+
+
+def test_schedule_lr_cosine_endpoints_and_monotone():
+    cfg = _SchedCfg()
+    cfg.lr_schedule = "cosine"
+    cfg.min_lr = 1e-4
+    vals = [schedule_lr(cfg, e) for e in range(1, cfg.num_epochs + 1)]
+    assert vals[0] == pytest.approx(cfg.lr)
+    assert vals[-1] == pytest.approx(cfg.min_lr)
+    assert all(a >= b for a, b in zip(vals, vals[1:]))
+    mid = vals[len(vals) // 2]
+    assert cfg.min_lr < mid < cfg.lr
+
+
+def test_schedule_lr_rejects_unknown():
+    cfg = _SchedCfg()
+    cfg.lr_schedule = "linear"
+    with pytest.raises(ValueError):
+        schedule_lr(cfg, 1)
 
 
 def test_train_step_runs_and_descends():

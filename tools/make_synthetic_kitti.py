@@ -320,10 +320,14 @@ def generate(out_dir, n_train=3500, n_val=1000, seed=0, start_index=0):
     n = n_train + n_val
     ids = [f"{start_index + i:06d}" for i in range(n)]
     for i, fid in enumerate(ids):
+        img_path = os.path.join(kitti, "training", "image_2", fid + ".png")
+        lbl_path = os.path.join(kitti, "training", "label_2", fid + ".txt")
+        if os.path.exists(img_path) and os.path.exists(lbl_path):
+            continue  # resumable: every frame's rng is seeded by its index
         rng = np.random.default_rng(seed * 1_000_003 + start_index + i)
         img, lines = generate_image(rng)
-        cv2.imwrite(os.path.join(kitti, "training", "image_2", fid + ".png"), img)
-        with open(os.path.join(kitti, "training", "label_2", fid + ".txt"), "w") as fp:
+        cv2.imwrite(img_path, img)
+        with open(lbl_path, "w") as fp:
             fp.writelines(lines)
         if (i + 1) % 250 == 0:
             print(f"{i + 1}/{n} images", flush=True)
