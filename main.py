@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""SqueezeDet-TPU CLI: ``python main.py {train|eval|demo|pretrain|bench}``.
+"""SqueezeDet-TPU CLI: ``python main.py {train|eval|demo|pretrain|serve|bench}``.
 
 Flag-compatible with the reference CLI (src/main.py:5-18,
 src/utils/config.py:9-85) plus TPU-specific options; see
@@ -46,6 +46,10 @@ def run() -> None:
         from squeezedet_tpu.pretrain import pretrain
 
         pretrain(cfg)
+    elif cfg.mode == "serve":
+        from squeezedet_tpu.serve import serve
+
+        serve(cfg)
     elif cfg.mode == "bench":
         import bench
 

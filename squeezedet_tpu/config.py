@@ -128,6 +128,10 @@ class Config:
     #   sub-LSB quantization noise for ~3x less host work and 4x less H2D
     max_objects: int = 0  # device_data GT capacity per frame; 0 = auto-size
     #   from the dataset's observed per-frame maximum (min 16)
+    port: int = 8080  # serve mode: HTTP listen port
+    max_wait_ms: float = 15.0  # serve mode: dynamic-batching window — how
+    #   long the collector waits after the first request for the batch to
+    #   fill before dispatching a padded batch
     num_fires: int = 0  # pretrain trunk depth (fire modules); 0 = arch
     #   default: 8 on squeezedet (the torchvision squeezenet1_1 prefix),
     #   every fire on squeezedetplus (its ImageNet backbone covers them all)
@@ -242,7 +246,9 @@ class _BoolFlag(argparse.Action):
 
 def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(description="SqueezeDet-TPU")
-    parser.add_argument("mode", help="train | eval | demo | pretrain | bench")
+    parser.add_argument(
+        "mode", help="train | eval | demo | pretrain | serve | bench"
+    )
     for f in dataclasses.fields(Config):
         if f.name == "mode" or f.name in (
             "root_dir", "exp_dir", "save_dir", "debug_dir",

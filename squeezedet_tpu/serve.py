@@ -1,0 +1,347 @@
+"""Serving daemon: HTTP detection endpoint with dynamic batching.
+
+``python main.py serve --load_model <ckpt> [--port 8080 --max_wait_ms 15]``
+
+No reference counterpart (the reference stops at ``detect_dataset``); this
+is the deployment surface the TPU charter asks for. Design notes:
+
+- **Fixed-shape dispatch.** The jitted predict step is compiled once for
+  ``(batch_size, H, W, 3)``; every request batch is padded to that shape
+  (``num_valid`` masks the tail), so no request pattern can trigger a
+  recompile — the latency distribution stays flat.
+- **Dynamic batching.** A single collector thread owns the device: it
+  blocks on the request queue, then keeps gathering until the batch is
+  full or ``--max_wait_ms`` has passed since the first request. Batch-1
+  latency is one RTT + device time; concurrent clients coalesce toward
+  full batches (the measured serving sweet spot, EVIDENCE.md).
+- **uint8 ingest by default.** Requests ship raw decoded bytes to the
+  device; whitening is folded into the stem conv (the measured-fastest
+  path, engine/detector.py). ``--no_serve_uint8`` restores the float
+  path bit-parity with the host pipeline.
+- Preprocessing reuses the dataset recipe exactly (data/base.py
+  inference_item): whiten (float path) + resize, or crop_or_pad under
+  ``--forbid_resize``; boxes un-map through the same ``image_meta``
+  protocol, so server responses match offline eval bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any
+
+import numpy as np
+
+
+def decode_image_bytes(data: bytes) -> np.ndarray:
+    """PNG/JPEG bytes -> RGB float32 HWC (the dataset load_image contract)."""
+    try:
+        import cv2
+
+        arr = cv2.imdecode(np.frombuffer(data, np.uint8), cv2.IMREAD_COLOR)
+        if arr is None:
+            raise ValueError("cv2.imdecode returned None")
+        return arr[..., ::-1].astype(np.float32)  # BGR -> RGB
+    except ImportError:  # pragma: no cover
+        from PIL import Image
+
+        return np.asarray(Image.open(io.BytesIO(data)).convert("RGB"), np.float32)
+
+
+def preprocess_image(image: np.ndarray, cfg, raw: bool, image_id: str = "request"):
+    """Single-image inference preprocessing (data/base.py inference_item):
+    whiten (unless raw/uint8 ingest) then resize or crop_or_pad."""
+    from squeezedet_tpu.core.image import crop_or_pad, resize, whiten
+
+    image_meta: dict[str, Any] = {
+        "image_id": image_id,
+        "orig_size": np.array(image.shape, dtype=np.int32),
+    }
+    if not raw:
+        image, image_meta = whiten(image, image_meta, cfg.rgb_mean, cfg.rgb_std)
+    if getattr(cfg, "forbid_resize", False):
+        image, image_meta, _ = crop_or_pad(image, image_meta, cfg.input_size)
+    else:
+        image, image_meta, _ = resize(image, image_meta, cfg.input_size)
+    dtype = np.uint8 if raw else np.float32
+    image = np.clip(image, 0, 255) if raw else image
+    return np.ascontiguousarray(image, dtype=dtype), image_meta
+
+
+class DynamicBatcher:
+    """Single-owner device loop: collect -> pad -> one fixed-shape dispatch.
+
+    ``submit`` blocks the calling (HTTP handler) thread until its result is
+    ready; the collector thread is the only one that touches the detector,
+    so JAX dispatch stays single-threaded.
+    """
+
+    def __init__(self, detector, cfg, max_wait_ms: float = 15.0):
+        import queue
+
+        self.detector = detector
+        self.batch_size = int(cfg.batch_size)
+        self.max_wait_s = float(max_wait_ms) / 1000.0
+        self._queue: "queue.Queue" = queue.Queue()
+        self._lock = threading.Lock()
+        self.stats = {
+            "requests": 0,
+            "batches": 0,
+            "batch_occupancy_sum": 0,
+            "latency_ms": [],  # bounded window, see _record
+        }
+        self._closed = False
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def submit(self, image: np.ndarray, meta: dict) -> dict:
+        """Enqueue one preprocessed image; block until detection results."""
+        done = threading.Event()
+        slot: dict[str, Any] = {}
+        self._queue.put((image, meta, done, slot, time.time()))
+        done.wait()
+        if "error" in slot:
+            raise slot["error"]
+        return slot["result"]
+
+    def close(self):
+        self._closed = True
+        self._queue.put(None)  # wake the collector
+        self._thread.join(timeout=5)
+
+    def _collect(self):
+        """Block for the first request, then gather until full or timeout."""
+        first = self._queue.get()
+        if first is None:
+            return []
+        items = [first]
+        deadline = time.time() + self.max_wait_s
+        while len(items) < self.batch_size:
+            remaining = deadline - time.time()
+            if remaining <= 0:
+                break
+            try:
+                nxt = self._queue.get(timeout=remaining)
+            except Exception:
+                break
+            if nxt is None:
+                break
+            items.append(nxt)
+        return items
+
+    def _record(self, n_items: int, t_submit_first: float):
+        with self._lock:
+            s = self.stats
+            s["requests"] += n_items
+            s["batches"] += 1
+            s["batch_occupancy_sum"] += n_items
+            s["latency_ms"].append(1000.0 * (time.time() - t_submit_first))
+            if len(s["latency_ms"]) > 1000:
+                s["latency_ms"] = s["latency_ms"][-1000:]
+
+    def _loop(self):
+        while not self._closed:
+            items = self._collect()
+            if not items:
+                continue
+            images = [it[0] for it in items]
+            metas = [it[1] for it in items]
+            # pad to the compiled batch shape; num_valid masks the tail
+            while len(images) < self.batch_size:
+                images.append(images[-1])
+            batch = {
+                "image": np.stack(images),
+                "image_metas": metas,
+                "num_valid": len(items),
+            }
+            try:
+                results = self.detector.detect(batch)
+            except Exception as exc:  # deliver the failure to every waiter
+                for _, _, done, slot, _ in items:
+                    slot["error"] = exc
+                    done.set()
+                continue
+            for (_, _, done, slot, _), result in zip(items, results):
+                slot["result"] = result
+                done.set()
+            self._record(len(items), items[0][4])
+
+    def snapshot(self) -> dict:
+        with self._lock:
+            s = self.stats
+            lat = sorted(s["latency_ms"])
+            pct = lambda p: lat[int(p * (len(lat) - 1))] if lat else 0.0
+            return {
+                "requests": s["requests"],
+                "batches": s["batches"],
+                "mean_batch_occupancy": (
+                    s["batch_occupancy_sum"] / s["batches"] if s["batches"] else 0.0
+                ),
+                "batch_latency_ms_p50": round(pct(0.50), 2),
+                "batch_latency_ms_p95": round(pct(0.95), 2),
+            }
+
+
+def result_to_json(result: dict, class_names) -> dict:
+    """Detector._finalize output -> wire format (original-image coords)."""
+    meta = result["image_meta"]
+    dets = []
+    if "boxes" in result:
+        for cid, score, box in zip(
+            result["class_ids"], result["scores"], result["boxes"]
+        ):
+            dets.append(
+                {
+                    "class_id": int(cid),
+                    "class": str(class_names[int(cid)]),
+                    "score": round(float(score), 4),
+                    "box": [round(float(v), 2) for v in box],
+                }
+            )
+    return {"image_id": str(meta["image_id"]), "detections": dets}
+
+
+def make_handler(batcher: DynamicBatcher, cfg, started: float):
+    """HTTP surface: POST /detect (image bytes), GET /healthz, GET /stats."""
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet access log; /stats has counters
+            pass
+
+        def _json(self, code: int, payload: dict):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path.startswith("/healthz"):
+                import jax
+
+                self._json(
+                    200,
+                    {
+                        "status": "ok",
+                        "backend": jax.default_backend(),
+                        "arch": cfg.arch,
+                        "input_size": list(cfg.input_size),
+                        "batch_size": cfg.batch_size,
+                        "uptime_s": round(time.time() - started, 1),
+                    },
+                )
+            elif self.path.startswith("/stats"):
+                self._json(200, batcher.snapshot())
+            else:
+                self._json(404, {"error": f"unknown path {self.path}"})
+
+        def do_POST(self):
+            if not self.path.startswith("/detect"):
+                self._json(404, {"error": f"unknown path {self.path}"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                data = self.rfile.read(length)
+                raw = getattr(cfg, "serve_uint8", True) and "raw=0" not in self.path
+                image = decode_image_bytes(data)
+                image, meta = preprocess_image(image, cfg, raw=raw)
+                result = batcher.submit(image, meta)
+                self._json(200, result_to_json(result, cfg.class_names))
+            except Exception as exc:
+                self._json(400, {"error": f"{type(exc).__name__}: {exc}"})
+
+    return Handler
+
+
+def build_server(detector, cfg, port: int | None = None, max_wait_ms=None):
+    """Wire batcher + handler into a ThreadingHTTPServer (not yet serving)."""
+    batcher = DynamicBatcher(
+        detector,
+        cfg,
+        max_wait_ms=(
+            max_wait_ms if max_wait_ms is not None
+            else getattr(cfg, "max_wait_ms", 15.0)
+        ),
+    )
+    handler = make_handler(batcher, cfg, started=time.time())
+    httpd = ThreadingHTTPServer(
+        ("0.0.0.0", int(port if port is not None else cfg.port)), handler
+    )
+    httpd.batcher = batcher  # for tests/shutdown
+    return httpd
+
+
+def serve(cfg) -> None:
+    """CLI entry: load the model, compile the serving path, serve forever."""
+    import jax
+
+    from squeezedet_tpu.data.kitti import (
+        KITTI_ANCHOR_SEEDS,
+        KITTI_CLASS_NAMES,
+        KITTI_INPUT_SIZE,
+        KITTI_RGB_MEAN,
+        KITTI_RGB_STD,
+    )
+    from squeezedet_tpu.core.anchors import generate_anchors
+    from squeezedet_tpu.engine.detector import Detector
+    from squeezedet_tpu.models.squeezedet import init_params
+    from squeezedet_tpu.utils.checkpoint import load_any
+
+    # dataset constants without requiring the dataset on disk (demo.py)
+    cfg.input_size = KITTI_INPUT_SIZE
+    cfg.rgb_mean, cfg.rgb_std = KITTI_RGB_MEAN, KITTI_RGB_STD
+    cfg.class_names = KITTI_CLASS_NAMES
+    cfg.num_classes = len(KITTI_CLASS_NAMES)
+    grid = tuple(x // 16 for x in KITTI_INPUT_SIZE)
+    cfg.anchors = generate_anchors(grid, KITTI_INPUT_SIZE, KITTI_ANCHOR_SEEDS)
+    cfg.anchors_per_grid = KITTI_ANCHOR_SEEDS.shape[0]
+    cfg.num_anchors = cfg.anchors.shape[0]
+
+    from squeezedet_tpu.train import build_task
+
+    task = build_task(cfg)
+    params = init_params(jax.random.PRNGKey(cfg.seed), task.model)
+    if cfg.load_model:
+        params, _ = load_any(cfg.load_model, params, task.model)
+    elif not cfg.allow_random_weights:
+        raise SystemExit(
+            "serve: refusing to serve random weights; pass --load_model "
+            "<ckpt> (or --allow_random_weights to smoke-test)"
+        )
+
+    detector = Detector(params, task, cfg)
+    # compile + warm the serving path before accepting traffic
+    warm = np.zeros(
+        (cfg.batch_size, *cfg.input_size, 3),
+        np.uint8 if cfg.serve_uint8 else np.float32,
+    )
+    t0 = time.time()
+    detector.detect(
+        {
+            "image": warm,
+            "image_metas": [
+                {
+                    "image_id": "warmup",
+                    "orig_size": np.array([*cfg.input_size, 3], np.int32),
+                    "scales": np.array([1.0, 1.0], np.float32),
+                }
+            ],
+            "num_valid": 1,
+        }
+    )
+    print(f"[serve] compiled serving path in {time.time() - t0:.1f}s")
+
+    httpd = build_server(detector, cfg)
+    print(
+        f"[serve] listening on :{cfg.port} "
+        f"(batch {cfg.batch_size}, max_wait {cfg.max_wait_ms}ms, "
+        f"{'uint8' if cfg.serve_uint8 else 'float32'} ingest)"
+    )
+    try:
+        httpd.serve_forever()
+    finally:
+        httpd.batcher.close()

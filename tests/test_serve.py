@@ -1,0 +1,220 @@
+"""Serving daemon (squeezedet_tpu/serve.py): dynamic batcher semantics,
+preprocessing/wire format, and a live HTTP round-trip through the real
+Detector on the CPU backend."""
+
+import json
+import threading
+import time
+import urllib.request
+
+import numpy as np
+import pytest
+
+from squeezedet_tpu.config import Config
+from squeezedet_tpu.serve import (
+    DynamicBatcher,
+    build_server,
+    decode_image_bytes,
+    preprocess_image,
+    result_to_json,
+)
+
+from tests.test_e2e import TinyKITTI, _make_kitti_tree
+
+
+class FakeDetector:
+    """Records dispatched batches; returns an identifiable result per image."""
+
+    def __init__(self, delay_s=0.0):
+        self.batches = []
+        self.delay_s = delay_s
+
+    def detect(self, batch):
+        self.batches.append(batch)
+        time.sleep(self.delay_s)
+        return [
+            {
+                "image_meta": batch["image_metas"][b],
+                "class_ids": np.array([0]),
+                "scores": np.array([0.9]),
+                "boxes": np.array([[1.0, 2.0, 3.0, 4.0]]),
+            }
+            for b in range(batch["num_valid"])
+        ]
+
+
+class _Cfg:
+    batch_size = 4
+
+
+def test_batcher_pads_to_fixed_shape_and_routes_results():
+    det = FakeDetector()
+    b = DynamicBatcher(det, _Cfg(), max_wait_ms=5)
+    img = np.zeros((8, 8, 3), np.uint8)
+    out = b.submit(img, {"image_id": "a"})
+    assert out["image_meta"]["image_id"] == "a"
+    batch = det.batches[0]
+    assert batch["image"].shape == (4, 8, 8, 3)  # padded to batch_size
+    assert batch["num_valid"] == 1
+    b.close()
+
+
+def test_batcher_coalesces_concurrent_requests():
+    det = FakeDetector(delay_s=0.05)
+    b = DynamicBatcher(det, _Cfg(), max_wait_ms=250)
+    img = np.zeros((8, 8, 3), np.uint8)
+    results = {}
+
+    def post(name):
+        results[name] = b.submit(img, {"image_id": name})
+
+    threads = [threading.Thread(target=post, args=(f"r{i}",)) for i in range(4)]
+    for t in threads:
+        t.start()
+        time.sleep(0.01)  # arrive within one max_wait window
+    for t in threads:
+        t.join()
+    assert {r["image_meta"]["image_id"] for r in results.values()} == {
+        "r0", "r1", "r2", "r3",
+    }
+    # each result went back to its own submitter
+    for name, r in results.items():
+        assert r["image_meta"]["image_id"] == name
+    assert len(det.batches) <= 2  # coalesced, not one dispatch per request
+    snap = b.snapshot()
+    assert snap["requests"] == 4
+    assert snap["mean_batch_occupancy"] >= 2.0
+    b.close()
+
+
+def test_batcher_delivers_errors_to_waiters():
+    class Boom:
+        def detect(self, batch):
+            raise RuntimeError("kaput")
+
+    b = DynamicBatcher(Boom(), _Cfg(), max_wait_ms=1)
+    with pytest.raises(RuntimeError, match="kaput"):
+        b.submit(np.zeros((4, 4, 3), np.uint8), {"image_id": "x"})
+    b.close()
+
+
+def _serve_cfg(tmp_path):
+    cfg = Config(
+        mode="serve", batch_size=2, keep_top_k=16, score_thresh=0.1,
+        max_wait_ms=200.0,
+    )
+    cfg.finalize_dirs(root_dir=str(tmp_path))
+    cfg.data_dir = str(tmp_path / "data")
+    return cfg
+
+
+def test_preprocess_paths_and_wire_format(tmp_path):
+    _make_kitti_tree(str(tmp_path / "data"))
+    cfg = _serve_cfg(tmp_path)
+    ds = TinyKITTI("val", cfg)
+    cfg.update_dataset_info(ds)
+
+    img = np.random.default_rng(0).integers(0, 255, (200, 600, 3)).astype(
+        np.float32
+    )
+    raw, meta = preprocess_image(img.copy(), cfg, raw=True)
+    assert raw.dtype == np.uint8 and raw.shape == (*cfg.input_size, 3)
+    assert "rgb_mean" not in meta and "scales" in meta
+
+    flt, meta_f = preprocess_image(img.copy(), cfg, raw=False)
+    assert flt.dtype == np.float32 and "rgb_mean" in meta_f
+
+    payload = result_to_json(
+        {
+            "image_meta": {"image_id": "req1"},
+            "class_ids": np.array([1]),
+            "scores": np.array([0.87]),
+            "boxes": np.array([[10.0, 20.0, 30.0, 40.0]]),
+        },
+        cfg.class_names,
+    )
+    assert payload["image_id"] == "req1"
+    det = payload["detections"][0]
+    assert det["class"] == cfg.class_names[1]
+    assert det["score"] == pytest.approx(0.87)
+    assert det["box"] == [10.0, 20.0, 30.0, 40.0]
+    # empty result (no "boxes" key) must serialize to an empty list
+    assert result_to_json({"image_meta": {"image_id": "e"}}, cfg.class_names)[
+        "detections"
+    ] == []
+
+
+def test_http_round_trip_real_detector(tmp_path):
+    """Full stack: HTTP POST (PNG bytes) -> batcher -> jitted Detector on
+    the CPU backend -> JSON detections in original coordinates."""
+    import cv2
+    import jax
+
+    from squeezedet_tpu.engine.detector import Detector
+    from squeezedet_tpu.models.squeezedet import init_params
+    from squeezedet_tpu.train import build_task
+
+    _make_kitti_tree(str(tmp_path / "data"))
+    cfg = _serve_cfg(tmp_path)
+    ds = TinyKITTI("val", cfg)
+    cfg.update_dataset_info(ds)
+    task = build_task(cfg)
+    # scaled-up random weights so some scores clear the threshold
+    params = jax.tree.map(
+        lambda a: a * 30.0, init_params(jax.random.PRNGKey(0), task.model)
+    )
+    detector = Detector(params, task, cfg)
+
+    httpd = build_server(detector, cfg, port=0)  # OS-assigned free port
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        img = np.random.default_rng(1).integers(
+            0, 255, (200, 600, 3), dtype=np.uint8
+        )
+        img[60:140, 200:340] = (250, 60, 60)
+        ok, png = cv2.imencode(".png", img[..., ::-1])
+        assert ok
+
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/detect", data=png.tobytes(), method="POST"
+        )
+        with urllib.request.urlopen(req, timeout=120) as resp:
+            assert resp.status == 200
+            payload = json.loads(resp.read())
+        assert set(payload) == {"image_id", "detections"}
+        for d in payload["detections"]:
+            assert set(d) == {"class_id", "class", "score", "box"}
+            assert d["class"] in cfg.class_names
+            x1, y1, x2, y2 = d["box"]
+            # original-image coordinates, not network-input coordinates
+            assert 0 <= x1 <= x2 <= 600 and 0 <= y1 <= y2 <= 200
+
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/healthz", timeout=30
+        ) as resp:
+            health = json.loads(resp.read())
+        assert health["status"] == "ok"
+        assert health["input_size"] == list(cfg.input_size)
+
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/stats", timeout=30
+        ) as resp:
+            stats = json.loads(resp.read())
+        assert stats["requests"] == 1 and stats["batches"] == 1
+
+        # malformed body -> structured 400, server stays up
+        bad = urllib.request.Request(
+            f"http://127.0.0.1:{port}/detect", data=b"not an image",
+            method="POST",
+        )
+        try:
+            urllib.request.urlopen(bad, timeout=30)
+            assert False, "expected HTTP 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+            assert "error" in json.loads(e.read())
+    finally:
+        httpd.shutdown()
+        httpd.batcher.close()
