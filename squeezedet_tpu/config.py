@@ -44,6 +44,7 @@ class Config:
     lr_gamma: float = 0.5  # step schedule: decay factor (ref: 0.5)
     warmup_epochs: int = 0  # linear lr ramp over the first N epochs
     min_lr: float = 0.0  # cosine schedule floor (reached at the final epoch)
+    ema_decay: float = 0.0  # EMA of params; 0 = off, 0.999-0.9999 typical
     momentum: float = 0.9
     weight_decay: float = 0.0001
     grad_norm: float = 5.0
@@ -206,6 +207,8 @@ _FLAG_HELP = {
     "lr_schedule": "step (reference StepLR(60,.5)) | cosine | constant",
     "warmup_epochs": "linear lr warmup over the first N epochs (0 = off)",
     "min_lr": "cosine schedule floor, reached at the final epoch",
+    "ema_decay": "EMA of params; eval/model_best use the averaged weights "
+                 "(0 = off)",
     "num_iters": "iterations per epoch; -1 = #samples/batch_size",
     "no_eval": "skip mAP evaluation during training",
     "forbid_resize": "use center crop/pad instead of resizing",

@@ -132,6 +132,12 @@ class DeviceTrainer:
     def params(self):
         return self.state.params
 
+    @property
+    def eval_params(self):
+        """Weights to evaluate / save as model_best: the EMA shadow when
+        --ema_decay is on, the live params otherwise."""
+        return self.state.ema if self.state.ema is not None else self.state.params
+
     def learning_rate(self, epoch: int) -> float:
         return schedule_lr(self.cfg, epoch)
 
@@ -229,7 +235,7 @@ class DeviceTrainer:
     def val_epoch(self, epoch: int, loader=None) -> dict[str, float]:
         start = time.time()
         stats = self._fetch_guarded(
-            self.val_epoch_fn(self.state.params, self.val_data), epoch
+            self.val_epoch_fn(self.eval_params, self.val_data), epoch
         )
         stats = dict(stats)
         weights = np.asarray(stats.pop("num_valid"))
@@ -242,7 +248,7 @@ class DeviceTrainer:
         """Detect the resident val set in one dispatch, write KITTI result
         txts, run the native evaluator (Trainer-mode twin: eval.py)."""
         dets = self._fetch_guarded(
-            self.predict_epoch_fn(self.state.params, self.val_data), "eval"
+            self.predict_epoch_fn(self.eval_params, self.val_data), "eval"
         )
         results = []
         oh, ow = self.spec.out_size

@@ -130,6 +130,12 @@ class Trainer:
     def params(self):
         return self.state.params
 
+    @property
+    def eval_params(self):
+        """Weights to evaluate / save as model_best: the EMA shadow when
+        --ema_decay is on, the live params otherwise."""
+        return self.state.ema if self.state.ema is not None else self.state.params
+
     def learning_rate(self, epoch: int) -> float:
         return schedule_lr(self.cfg, epoch)
 
@@ -202,8 +208,11 @@ class Trainer:
                         dispatch(chunk, iter_id - k + 1, chunk_data_ms)
                         chunk, chunk_data_ms = [], 0.0
                 else:
+                    # val scores the weights we'd deploy (EMA under
+                    # --ema_decay), so --no_eval best-selection picks the
+                    # same model that model_best saves
                     stats = self.val_step(
-                        self.state.params, batch["image"], batch["gt"],
+                        self.eval_params, batch["image"], batch["gt"],
                         self.anchors, self.rgb_stats,
                     )
                     pending.append(

@@ -102,10 +102,11 @@ def shard_params_tp(mesh: Mesh, params, arch: str):
     return jax.device_put(params, tp_param_shardings(mesh, arch))
 
 
-def _state_shardings(mesh: Mesh, arch: str, opt_state):
+def _state_shardings(mesh: Mesh, arch: str, opt_state, has_ema: bool = False):
     """TrainState-shaped sharding tree: momentum mirrors the param plan,
-    everything else replicated. ``opt_state`` is the template whose chain
-    structure (clip -> weight-decay -> trace) we walk."""
+    the EMA shadow (when present) mirrors it too, everything else
+    replicated. ``opt_state`` is the template whose chain structure
+    (clip -> weight-decay -> trace) we walk."""
     pshard = tp_param_shardings(mesh, arch)
     rep = NamedSharding(mesh, P())
 
@@ -118,11 +119,17 @@ def _state_shardings(mesh: Mesh, arch: str, opt_state):
         params=pshard,
         opt_state=tuple(put(s) for s in opt_state),
         step=rep,
+        ema=pshard if has_ema else None,
     )
 
 
 def shard_train_state_tp(mesh: Mesh, state: TrainState, arch: str) -> TrainState:
-    return jax.device_put(state, _state_shardings(mesh, arch, state.opt_state))
+    return jax.device_put(
+        state,
+        _state_shardings(
+            mesh, arch, state.opt_state, has_ema=state.ema is not None
+        ),
+    )
 
 
 def tp_batch_sharding(mesh: Mesh) -> NamedSharding:
@@ -154,7 +161,10 @@ def make_tp_train_step(task: TaskSpec, mesh: Mesh, state: TrainState):
     tx = make_optimizer(task)
     rep = NamedSharding(mesh, P())
     out_shardings = (
-        _state_shardings(mesh, task.model.arch, state.opt_state),
+        _state_shardings(
+            mesh, task.model.arch, state.opt_state,
+            has_ema=state.ema is not None,
+        ),
         rep,
     )
 
@@ -175,7 +185,10 @@ def make_tp_train_step_multi(task: TaskSpec, mesh: Mesh, state: TrainState):
     tx = make_optimizer(task)
     rep = NamedSharding(mesh, P())
     out_shardings = (
-        _state_shardings(mesh, task.model.arch, state.opt_state),
+        _state_shardings(
+            mesh, task.model.arch, state.opt_state,
+            has_ema=state.ema is not None,
+        ),
         rep,
     )
 

@@ -35,6 +35,11 @@ class TrainState(NamedTuple):
     params: Any
     opt_state: Any
     step: jnp.ndarray  # scalar int32
+    # EMA shadow of params (None = disabled). Lives inside the state pytree
+    # so every step variant — single, fused-k scan, grad-accum, whole-epoch
+    # device-data scan (parallel/epoch.py), TP (parallel/tensor.py) —
+    # carries and updates it with no extra plumbing.
+    ema: Any = None
 
 
 @dataclass(frozen=True)
@@ -51,6 +56,7 @@ class TaskSpec:
     top_k: int = 64
     nms_thresh: float = 0.4
     score_thresh: float = 0.3
+    ema_decay: float = 0.0  # 0 disables; 0.999-0.9999 typical
 
 
 def make_optimizer(task: TaskSpec) -> optax.GradientTransformation:
@@ -65,7 +71,24 @@ def make_optimizer(task: TaskSpec) -> optax.GradientTransformation:
 
 def init_train_state(params, task: TaskSpec) -> TrainState:
     tx = make_optimizer(task)
-    return TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+    # distinct buffers for the EMA copy: the step donates the whole state,
+    # and aliased params/ema leaves would be donated twice
+    ema = jax.tree.map(jnp.array, params) if task.ema_decay > 0 else None
+    return TrainState(params, tx.init(params), jnp.zeros((), jnp.int32), ema)
+
+
+def _ema_update(ema, params, decay: float, step):
+    """One EMA step: ema <- d*ema + (1-d)*params, with the effective decay
+    ramped as d_t = decay * (1 - exp(-(t+1)/2000)) so early steps track the
+    live params closely instead of the random init the EMA was seeded with
+    (the standard detection-training ramp; no reference counterpart — the
+    reference has no weight averaging at all). ``step`` is the pre-update
+    step counter (a traced scalar), so the ramp costs nothing and never
+    recompiles."""
+    if ema is None:
+        return None
+    d = decay * (1.0 - jnp.exp(-(step.astype(jnp.float32) + 1.0) / 2000.0))
+    return jax.tree.map(lambda e, p: e * d + p * (1.0 - d), ema, params)
 
 
 def stepLR(base_lr: float, epoch: int, step_size: int = 60, gamma: float = 0.5) -> float:
@@ -160,7 +183,8 @@ def _sgd_step(state: TrainState, images, gt, anchors, lr, rng, task, tx, rgb_sta
     updates, opt_state = tx.update(grads, state.opt_state, state.params)
     updates = jax.tree.map(lambda u: -lr * u, updates)
     params = optax.apply_updates(state.params, updates)
-    return TrainState(params, opt_state, state.step + 1), stats
+    ema = _ema_update(state.ema, params, task.ema_decay, state.step)
+    return TrainState(params, opt_state, state.step + 1, ema), stats
 
 
 def make_train_step(task: TaskSpec):
@@ -258,7 +282,8 @@ def make_train_step_accum(task: TaskSpec, n_accum: int):
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         updates = jax.tree.map(lambda u: -lr * u, updates)
         params = optax.apply_updates(state.params, updates)
-        return TrainState(params, opt_state, state.step + 1), stats
+        ema = _ema_update(state.ema, params, task.ema_decay, state.step)
+        return TrainState(params, opt_state, state.step + 1, ema), stats
 
     return train_step
 

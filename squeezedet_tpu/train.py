@@ -56,6 +56,7 @@ def build_task(cfg) -> TaskSpec:
         grad_norm=cfg.grad_norm,
         momentum=cfg.momentum,
         weight_decay=cfg.weight_decay,
+        ema_decay=getattr(cfg, "ema_decay", 0.0),
         top_k=cfg.keep_top_k,
         nms_thresh=cfg.nms_thresh,
         score_thresh=cfg.score_thresh,
@@ -154,14 +155,18 @@ def _train_epochs(
                 if hasattr(trainer, "evaluate_val"):
                     aps = trainer.evaluate_val()  # device-resident val path
                 else:
-                    aps = eval_dataset(val_dataset, trainer.params, cfg, task)
+                    # eval_params = the EMA shadow under --ema_decay
+                    aps = eval_dataset(val_dataset, trainer.eval_params, cfg, task)
                 logger.update(aps, phase="val", epoch=epoch)
 
             value = val_stats["loss"] if cfg.no_eval else aps["mAP"]
             if better_than(value, best):
                 best = value
+                # model_best holds the weights that SCORED best: the EMA
+                # shadow when --ema_decay is on, live params otherwise
                 save_params(
-                    os.path.join(cfg.save_dir, "model_best"), trainer.params, epoch
+                    os.path.join(cfg.save_dir, "model_best"),
+                    trainer.eval_params, epoch,
                 )
 
         if epoch % cfg.save_intervals == 0 or epoch == cfg.num_epochs:

@@ -50,6 +50,8 @@ def save_train_state(path: str, state, epoch: int, best: float | None = None) ->
     }
     if best is not None:
         payload["best"] = float(best)
+    if getattr(state, "ema", None) is not None:
+        payload["ema"] = jax.device_get(state.ema)
     _checkpointer().save(path, payload, force=True)
 
 
@@ -60,28 +62,40 @@ def load_train_state(path: str, template_state):
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(path)
-    template = {
+    ckpt = _checkpointer()
+    # 'best' and 'ema' are optional leaves, and orbax requires the restore
+    # item to match the on-disk tree EXACTLY (extra or missing top-level
+    # keys both raise) — so read the stored key set first and build the
+    # one matching item
+    top = set(ckpt.metadata(path).item_metadata.tree.keys())
+    item: dict = {
         "params": jax.device_get(template_state.params),
         "opt_state": jax.device_get(template_state.opt_state),
         "step": 0,
         "epoch": 0,
     }
-    # probe for the optional 'best' leaf: restore with it in the template
-    # first, fall back to the legacy layout without it
-    try:
-        restored = _checkpointer().restore(
-            path, args=ocp.args.PyTreeRestore(item={**template, "best": 0.0})
+    if "best" in top:
+        item["best"] = 0.0
+    if "ema" in top:
+        # params-shaped template whether or not this run keeps the EMA
+        item["ema"] = jax.device_get(
+            template_state.ema
+            if getattr(template_state, "ema", None) is not None
+            else template_state.params
         )
-        best = float(restored["best"])
-    except (KeyError, ValueError):
-        restored = _checkpointer().restore(
-            path, args=ocp.args.PyTreeRestore(item=template)
-        )
-        best = None
+    restored = ckpt.restore(path, args=ocp.args.PyTreeRestore(item=item))
+    best = float(restored["best"]) if "best" in restored else None
+    want_ema = getattr(template_state, "ema", None) is not None
+    ema = restored.get("ema") if want_ema else None
+    if want_ema and ema is None:
+        # resuming a pre-ema run with --ema_decay on: seed from params
+        print("[checkpoint] no EMA in checkpoint — seeding EMA from params")
+        ema = jax.tree.map(np.array, restored["params"])
     state = type(template_state)(
         params=restored["params"],
         opt_state=restored["opt_state"],
         step=np.int32(restored["step"]),
+        ema=ema,
     )
     return state, int(restored["epoch"]), best
 

@@ -135,9 +135,13 @@ def test_full_train_eval_cycle_device_data(tmp_path, monkeypatch):
 
     Uses 5 images with batch 2 so the val set is NOT a mesh×batch multiple:
     the staged val data must be padded (never trimmed) and every sample id
-    must get its own result txt (round-2 verdict weak #2)."""
+    must get its own result txt (round-2 verdict weak #2).
+
+    Runs with --ema_decay on, so the whole-epoch scan carries the EMA
+    shadow, eval/model_best score the averaged weights, and state_last
+    round-trips them (tests/test_ema.py covers the unit math)."""
     _make_kitti_tree(str(tmp_path / "data"), n_images=5)
-    cfg = _cfg(tmp_path, device_data=True)
+    cfg = _cfg(tmp_path, device_data=True, ema_decay=0.99)
 
     import squeezedet_tpu.train as train_mod
 
@@ -146,6 +150,31 @@ def test_full_train_eval_cycle_device_data(tmp_path, monkeypatch):
 
     assert os.path.isdir(os.path.join(cfg.save_dir, "model_last"))
     assert os.path.isdir(os.path.join(cfg.save_dir, "state_last"))
+
+    # state_last restores the EMA shadow, and it is a genuine average
+    # (lags the live params after the ramped warm-start)
+    import jax
+
+    from squeezedet_tpu.models.squeezedet import init_params
+    from squeezedet_tpu.parallel.train import init_train_state
+    from squeezedet_tpu.train import build_task
+    from squeezedet_tpu.utils.checkpoint import load_train_state
+
+    task = build_task(cfg)
+    template = init_train_state(
+        init_params(jax.random.PRNGKey(0), task.model), task
+    )
+    restored, _, _ = load_train_state(
+        os.path.join(cfg.save_dir, "state_last"), template
+    )
+    assert restored.ema is not None
+    diffs = [
+        float(np.abs(np.asarray(a) - np.asarray(b)).max())
+        for a, b in zip(
+            jax.tree.leaves(restored.ema), jax.tree.leaves(restored.params)
+        )
+    ]
+    assert max(diffs) > 0.0
     results_dir = os.path.join(cfg.save_dir, "results")
     assert os.path.isdir(os.path.join(results_dir, "data"))
     written = sorted(os.listdir(os.path.join(results_dir, "data")))
