@@ -37,7 +37,12 @@ from squeezedet_tpu.models.classifier import (
     init_classifier_params,
 )
 from squeezedet_tpu.parallel.mesh import make_mesh
-from squeezedet_tpu.parallel.train import TrainState, make_optimizer, schedule_lr
+from squeezedet_tpu.parallel.train import (
+    TrainState,
+    _ema_update,
+    make_optimizer,
+    schedule_lr,
+)
 from squeezedet_tpu.utils.checkpoint import (
     load_train_state,
     save_params,
@@ -63,11 +68,14 @@ def _whiten(x_u8, mean, std):
     return (x_u8.astype(jnp.float32) - mean) / std
 
 
-def make_pretrain_epoch(spec: ClassifierSpec, tx, mesh, rgb_mean, rgb_std):
+def make_pretrain_epoch(spec: ClassifierSpec, tx, mesh, rgb_mean, rgb_std,
+                        ema_decay: float = 0.0):
     """One dispatch = one training epoch over staged crops.
 
     Returns ``epoch_fn(state, images_u8, labels, perm, lr, rng)`` where
-    ``perm`` is (steps, batch) int32 sample indices (host-shuffled)."""
+    ``perm`` is (steps, batch) int32 sample indices (host-shuffled).
+    ``ema_decay`` > 0 carries the EMA shadow through the epoch scan
+    exactly like the detection path (parallel/train.py)."""
     mean = jnp.asarray(np.ravel(rgb_mean), jnp.float32)
     std = jnp.asarray(np.ravel(rgb_std), jnp.float32)
     batch_sh = NamedSharding(mesh, P("data"))
@@ -96,8 +104,9 @@ def make_pretrain_epoch(spec: ClassifierSpec, tx, mesh, rgb_mean, rgb_std):
             updates, opt_state = tx.update(grads, state.opt_state, state.params)
             updates = jax.tree.map(lambda u: -lr * u, updates)
             params = optax.apply_updates(state.params, updates)
+            ema = _ema_update(state.ema, params, ema_decay, state.step)
             return (
-                TrainState(params, opt_state, state.step + 1),
+                TrainState(params, opt_state, state.step + 1, ema),
                 {"loss": loss, "acc": acc},
             )
 
@@ -174,8 +183,10 @@ def pretrain(cfg) -> None:
 
     tx = make_optimizer(cfg)  # Config carries the same grad_norm /
     #   weight_decay / momentum attrs TaskSpec does
+    ema_decay = float(getattr(cfg, "ema_decay", 0.0))
     params = init_classifier_params(jax.random.PRNGKey(cfg.seed), spec)
-    state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+    ema = jax.tree.map(jnp.array, params) if ema_decay > 0 else None
+    state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32), ema)
     start_epoch, best = 1, -1.0
     if cfg.resume:
         state, saved_epoch, saved_best = load_train_state(cfg.resume, state)
@@ -190,7 +201,9 @@ def pretrain(cfg) -> None:
     val_images = jax.device_put(data["val"][0], repl)
     val_labels = jax.device_put(data["val"][1], repl)
 
-    epoch_fn = make_pretrain_epoch(spec, tx, mesh, rgb_mean, rgb_std)
+    epoch_fn = make_pretrain_epoch(
+        spec, tx, mesh, rgb_mean, rgb_std, ema_decay=ema_decay
+    )
     eval_fn = make_eval_fn(spec, mesh, rgb_mean, rgb_std)
     val_idx = _step_indices(len(data["val"][0]), cfg.batch_size)
 
@@ -239,9 +252,11 @@ def pretrain(cfg) -> None:
             raise FloatingPointError(f"non-finite pretrain loss at epoch {epoch}")
 
         if epoch % cfg.val_intervals == 0 or epoch == cfg.num_epochs:
+            # score + export the weights we'd deploy (EMA under --ema_decay)
+            eval_params = state.ema if state.ema is not None else state.params
             val_acc = float(
                 eval_fn(
-                    state.params, val_images, val_labels, val_idx,
+                    eval_params, val_images, val_labels, val_idx,
                     len(data["val"][0]),
                 )
             )
@@ -250,16 +265,19 @@ def pretrain(cfg) -> None:
                 best = val_acc
                 save_params(
                     os.path.join(cfg.save_dir, "model_best"),
-                    state.params, epoch,
+                    eval_params, epoch,
                 )
-                export(state.params, "backbone_best.pth")
+                export(eval_params, "backbone_best.pth")
         if epoch % cfg.save_intervals == 0 or epoch == cfg.num_epochs:
             save_train_state(
                 os.path.join(cfg.save_dir, "state_last"), state, epoch, best
             )
 
     # (state_last for the final epoch was already written by the loop)
-    export(state.params, "backbone_last.pth")
+    export(
+        state.ema if state.ema is not None else state.params,
+        "backbone_last.pth",
+    )
     logger.plot(["loss", "acc"])
     logger.print_bests(["acc"])
     logger.write(f"pretrain done: best val acc {best:.3f}")

@@ -154,7 +154,10 @@ def _write_crop_dataset(root, n_train=256, n_val=64, size=48, n_classes=3):
 
 def test_pretrain_driver_e2e(tmp_path):
     """The full pretrain driver on the 8-device CPU mesh: learns a separable
-    task, exports a loadable torchvision-format backbone."""
+    task, exports a loadable torchvision-format backbone. Runs with
+    --ema_decay on so the epoch scan carries the shadow and val/export
+    score the averaged weights (the ramped decay keeps the early EMA close
+    to the live params, so the accuracy assertion is unaffected)."""
     from squeezedet_tpu.pretrain import pretrain
 
     data_dir = str(tmp_path / "crops")
@@ -162,7 +165,7 @@ def test_pretrain_driver_e2e(tmp_path):
     cfg = Config(
         mode="pretrain", exp_id="pretrain_test", data_dir=data_dir,
         lr=0.01, num_epochs=6, batch_size=16, val_intervals=3,
-        save_intervals=6, dropout_prob=0.0, seed=3,
+        save_intervals=6, dropout_prob=0.0, seed=3, ema_decay=0.9,
     )
     cfg.finalize_dirs(root_dir=str(tmp_path))
     pretrain(cfg)
