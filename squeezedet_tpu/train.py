@@ -178,5 +178,14 @@ def _train_epochs(
                 best=best,
             )
 
-        logger.plot(metrics)
+        # curve PNGs on the val cadence + final epoch only: a full redraw
+        # costs ~1.5 s at 300-epoch histories (measured, 1-core host) —
+        # ~8% of a --device_data epoch if done every epoch. The reference
+        # plots once at the end (src/train.py:81-82); val-cadence keeps
+        # curves fresh for live monitoring at 1/val_intervals the cost.
+        if (
+            epoch == cfg.num_epochs
+            or (cfg.val_intervals > 0 and epoch % cfg.val_intervals == 0)
+        ):
+            logger.plot(metrics)
         logger.print_bests(metrics)

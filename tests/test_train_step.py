@@ -372,3 +372,30 @@ def test_grad_accum_sharded_matches_single_device():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-7
         )
+
+
+def test_training_is_bitwise_deterministic():
+    """Two training runs from the same seeds must produce bit-identical
+    params — the reproducibility contract production debugging relies on
+    (reference only seeds, never verifies: src/utils/misc.py:9-16).
+    Dropout is ON so the rng plumbing is part of the contract."""
+    task = _task(dropout=0.5)
+    anchors = jnp.asarray(ANCHORS)
+    batches = [_batch(2, seed=s) for s in range(3)]
+
+    def run():
+        params = init_params(jax.random.PRNGKey(0), task.model)
+        state = init_train_state(params, task)
+        step = make_train_step(task)
+        rng = jax.random.PRNGKey(1)
+        for images, gt in batches:
+            state, _ = step(
+                state, jnp.asarray(images), jnp.asarray(gt), anchors, 0.01, rng
+            )
+        return state
+
+    a, b = run(), run()
+    for x, y in zip(jax.tree.leaves(a.params), jax.tree.leaves(b.params)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    for x, y in zip(jax.tree.leaves(a.opt_state), jax.tree.leaves(b.opt_state)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))

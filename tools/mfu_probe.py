@@ -160,13 +160,21 @@ def main():
 
         # batch scaling of the base arch (device ceiling per batch size)
         if not quick:
-            for b in (64, 128):
+            for b in (64, 128, 256):
                 time_predict(
                     params, task, b, f"{arch} bf16", arch_flops(spec, input_size, b)
                 )
 
         # train step (batch 20) base vs best padded
         time_train(params, task, 20, f"{arch} train bf16", base_flops)
+        # train-step batch scaling (the training device ceiling — same
+        # amortization of per-op overhead the predict scaling shows)
+        if not quick:
+            for b in (64, 128):
+                time_train(
+                    params, task, b, f"{arch} train bf16",
+                    arch_flops(spec, input_size, b),
+                )
         if not quick:
             name = register_padded_arch(arch, 64)
             pspec = ModelSpec(
