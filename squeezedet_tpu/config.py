@@ -68,6 +68,9 @@ class Config:
     nms_thresh: float = 0.4
     score_thresh: float = 0.3
     keep_top_k: int = 64
+    nms_method: str = "hard"  # hard (reference parity) | soft_linear |
+    #   soft_gauss — Soft-NMS score decay (ops/postprocess.soft_nms_rescore)
+    soft_nms_sigma: float = 0.5  # gaussian decay width for soft_gauss
     tta_flip: bool = False  # flip test-time augmentation: run each batch
     #   and its horizontal mirror through the forward pass in one dispatch,
     #   merge through NMS (ops/postprocess.py:postprocess_tta_flip).
@@ -213,6 +216,9 @@ _FLAG_HELP = {
     "no_eval": "skip mAP evaluation during training",
     "forbid_resize": "use center crop/pad instead of resizing",
     "nms_thresh": "suppress boxes overlapping a kept box with IoU > thresh",
+    "nms_method": "hard (reference parity) | soft_linear | soft_gauss "
+                  "(Soft-NMS: decay overlapping scores instead of dropping)",
+    "soft_nms_sigma": "gaussian decay width for --nms_method soft_gauss",
     "score_thresh": "discard detections scoring below this",
     "keep_top_k": "detections kept per image before NMS",
     "tta_flip": "merge detections from the image and its mirror (2x FLOPs)",

@@ -70,6 +70,8 @@ class Detector:
                     num_classes=task.model.num_classes, top_k=task.top_k,
                     nms_thresh=task.nms_thresh,
                     score_thresh=task.score_thresh,
+                    nms_method=task.nms_method,
+                    soft_nms_sigma=task.soft_nms_sigma,
                 )
 
             self._predict_int8 = predict_int8

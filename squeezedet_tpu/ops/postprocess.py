@@ -48,6 +48,57 @@ def greedy_nms_mask(
     return lax.fori_loop(0, k, body, jnp.ones((k,), dtype=jnp.bool_))
 
 
+def soft_nms_rescore(
+    boxes: jnp.ndarray,
+    class_ids: jnp.ndarray,
+    scores: jnp.ndarray,
+    iou_thresh: float,
+    sigma: float,
+    method: str,
+) -> jnp.ndarray:
+    """Class-aware Soft-NMS score decay (Bodla et al., ICCV 2017) for a
+    (K, 4) box set. Instead of greedy_nms_mask's hard suppression, each
+    selected box DECAYS the scores of overlapping same-class boxes:
+
+    - ``soft_linear``: ``s *= 1 - iou`` when ``iou > iou_thresh``;
+    - ``soft_gauss``:  ``s *= exp(-iou^2 / sigma)`` (no threshold gate).
+
+    Runs the exact sequential algorithm under static shapes: a K-step
+    ``lax.scan`` selects the highest-scoring unprocessed box each step
+    (selection order can change as scores decay — that reordering is the
+    algorithm, not an approximation) and decays the remainder. A box's
+    score freezes at selection, so the returned (K,) vector holds each
+    box's final Soft-NMS score; downstream the usual ``score_thresh``
+    replaces the hard keep mask. No reference counterpart (the reference
+    is hard torchvision NMS, src/engine/detector.py:104) — opt-in via
+    ``--nms_method``. Parity: tests/test_soft_nms.py vs an independent
+    sequential numpy oracle.
+    """
+    k = boxes.shape[0]
+    iou = pairwise_iou(boxes)
+    same_class = class_ids[:, None] == class_ids[None, :]
+
+    def body(carry, _):
+        scores, processed = carry
+        # scores are sigmoid*softmax products in [0, 1]: -1 is a safe
+        # "already selected" sentinel for the argmax
+        i = jnp.argmax(jnp.where(processed, -1.0, scores))
+        processed = processed.at[i].set(True)
+        if method == "soft_linear":
+            w = jnp.where(iou[i] > iou_thresh, 1.0 - iou[i], 1.0)
+        elif method == "soft_gauss":
+            w = jnp.exp(-(iou[i] ** 2) / sigma)
+        else:  # pragma: no cover - guarded by _filter_detections
+            raise ValueError(f"unknown soft-NMS method {method!r}")
+        w = jnp.where(same_class[i] & ~processed, w, 1.0)
+        return (scores * w, processed), None
+
+    (scores, _), _ = lax.scan(
+        body, (scores, jnp.zeros((k,), dtype=jnp.bool_)), None, length=k
+    )
+    return scores
+
+
 @partial(
     jax.jit,
     static_argnames=(
@@ -56,6 +107,8 @@ def greedy_nms_mask(
         "top_k",
         "nms_thresh",
         "score_thresh",
+        "nms_method",
+        "soft_nms_sigma",
     ),
 )
 def postprocess(
@@ -67,6 +120,8 @@ def postprocess(
     top_k: int = 64,
     nms_thresh: float = 0.4,
     score_thresh: float = 0.3,
+    nms_method: str = "hard",
+    soft_nms_sigma: float = 0.5,
 ) -> dict[str, jnp.ndarray]:
     """Raw head output -> final fixed-shape detections.
 
@@ -79,7 +134,9 @@ def postprocess(
     """
     resolved = resolve(pred, anchors, input_size, num_classes)
     det = fuse_detections(resolved)
-    return _filter_detections(det, top_k, nms_thresh, score_thresh)
+    return _filter_detections(
+        det, top_k, nms_thresh, score_thresh, nms_method, soft_nms_sigma
+    )
 
 
 def _filter_detections(
@@ -87,17 +144,36 @@ def _filter_detections(
     top_k: int,
     nms_thresh: float,
     score_thresh: float,
+    nms_method: str = "hard",
+    soft_nms_sigma: float = 0.5,
 ) -> dict[str, jnp.ndarray]:
-    """Fused detections (B, N) -> top-K -> class-wise NMS -> threshold."""
+    """Fused detections (B, N) -> top-K -> class-wise NMS -> threshold.
+
+    ``nms_method='hard'`` keeps the reference-parity greedy suppression;
+    the ``soft_*`` methods decay scores instead (soft_nms_rescore) and the
+    score threshold does the discarding — output stays score-descending in
+    the DECAYED scores, so the fixed-shape contract is unchanged."""
     scores, order = lax.top_k(det["scores"], top_k)  # (B, K), sorted desc
     boxes = jnp.take_along_axis(det["boxes"], order[..., None], axis=1)
     class_ids = jnp.take_along_axis(det["class_ids"], order, axis=1)
 
-    nms_keep = jax.vmap(greedy_nms_mask, in_axes=(0, 0, None))(
-        boxes, class_ids, nms_thresh
-    )
-    keep = nms_keep & (scores > score_thresh)
+    if nms_method == "hard":
+        nms_keep = jax.vmap(greedy_nms_mask, in_axes=(0, 0, None))(
+            boxes, class_ids, nms_thresh
+        )
+        keep = nms_keep & (scores > score_thresh)
+        return {
+            "boxes": boxes, "scores": scores,
+            "class_ids": class_ids, "keep": keep,
+        }
 
+    scores = jax.vmap(soft_nms_rescore, in_axes=(0, 0, 0, None, None, None))(
+        boxes, class_ids, scores, nms_thresh, soft_nms_sigma, nms_method
+    )
+    scores, order = lax.top_k(scores, top_k)  # re-sort by decayed score
+    boxes = jnp.take_along_axis(boxes, order[..., None], axis=1)
+    class_ids = jnp.take_along_axis(class_ids, order, axis=1)
+    keep = scores > score_thresh
     return {"boxes": boxes, "scores": scores, "class_ids": class_ids, "keep": keep}
 
 
@@ -120,6 +196,8 @@ def unflip_boxes(boxes: jnp.ndarray, image_width: int) -> jnp.ndarray:
         "top_k",
         "nms_thresh",
         "score_thresh",
+        "nms_method",
+        "soft_nms_sigma",
     ),
 )
 def postprocess_tta_flip(
@@ -132,6 +210,8 @@ def postprocess_tta_flip(
     top_k: int = 64,
     nms_thresh: float = 0.4,
     score_thresh: float = 0.3,
+    nms_method: str = "hard",
+    soft_nms_sigma: float = 0.5,
 ) -> dict[str, jnp.ndarray]:
     """Merge detections from an image and its horizontal mirror (flip TTA).
 
@@ -152,4 +232,6 @@ def postprocess_tta_flip(
         k: jnp.concatenate([det[k], det_f[k]], axis=1)
         for k in ("boxes", "scores", "class_ids")
     }
-    return _filter_detections(merged, top_k, nms_thresh, score_thresh)
+    return _filter_detections(
+        merged, top_k, nms_thresh, score_thresh, nms_method, soft_nms_sigma
+    )

@@ -277,6 +277,8 @@ def make_pipeline(task: TaskSpec, devices, n_stages: int | None = None) -> Pipel
             top_k=task.top_k,
             nms_thresh=task.nms_thresh,
             score_thresh=task.score_thresh,
+            nms_method=task.nms_method,
+            soft_nms_sigma=task.soft_nms_sigma,
         )
 
     def mb_loss(pred, gt, anchors):

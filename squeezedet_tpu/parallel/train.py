@@ -57,6 +57,8 @@ class TaskSpec:
     nms_thresh: float = 0.4
     score_thresh: float = 0.3
     ema_decay: float = 0.0  # 0 disables; 0.999-0.9999 typical
+    nms_method: str = "hard"  # hard | soft_linear | soft_gauss
+    soft_nms_sigma: float = 0.5  # gaussian decay width for soft_gauss
 
 
 def make_optimizer(task: TaskSpec) -> optax.GradientTransformation:
@@ -309,6 +311,8 @@ def _predict_batch(params, images, anchors, task: TaskSpec):
         top_k=task.top_k,
         nms_thresh=task.nms_thresh,
         score_thresh=task.score_thresh,
+        nms_method=task.nms_method,
+        soft_nms_sigma=task.soft_nms_sigma,
     )
 
 
@@ -344,6 +348,8 @@ def _predict_batch_tta(params, images, anchors, task: TaskSpec):
         top_k=task.top_k,
         nms_thresh=task.nms_thresh,
         score_thresh=task.score_thresh,
+        nms_method=task.nms_method,
+        soft_nms_sigma=task.soft_nms_sigma,
     )
 
 

@@ -60,6 +60,8 @@ def build_task(cfg) -> TaskSpec:
         top_k=cfg.keep_top_k,
         nms_thresh=cfg.nms_thresh,
         score_thresh=cfg.score_thresh,
+        nms_method=getattr(cfg, "nms_method", "hard"),
+        soft_nms_sigma=getattr(cfg, "soft_nms_sigma", 0.5),
     )
 
 
