@@ -100,6 +100,7 @@ def export_stablehlo(
         "top_k": task.top_k,
         "nms_thresh": task.nms_thresh,
         "score_thresh": task.score_thresh,
+        "nms_method": task.nms_method,
         "jax_version": jax.__version__,
     }
     with open(path_prefix + ".json", "w") as fp:
