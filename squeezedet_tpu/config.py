@@ -62,6 +62,11 @@ class Config:
     positive_score_loss_weight: float = 3.75
     negative_score_loss_weight: float = 100.0
     bbox_loss_weight: float = 6.0
+    match_iou: float = 0.0  # >0 = SSD-style multi-positive anchor matching:
+    #   anchors with IoU >= thresh become extra positives for their best GT
+    #   on top of the reference's one-anchor-per-GT assignment (0 = exact
+    #   reference parity). Remedy for crowded/occluded-object recall —
+    #   see EVIDENCE.md round 3 (occ-2 plateau is assignment starvation).
     resume: str = ""  # orbax checkpoint dir to resume full train state from
 
     # inference

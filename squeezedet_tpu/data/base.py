@@ -136,7 +136,10 @@ class BaseDataset:
             )
             gt_boxes = gt_boxes[valid]
             gt_class_ids = np.asarray(gt_class_ids)[valid]
-        gt = encode_annotations(gt_class_ids, gt_boxes, self.anchors, self.num_classes)
+        gt = encode_annotations(
+            gt_class_ids, gt_boxes, self.anchors, self.num_classes,
+            match_iou=getattr(self.cfg, "match_iou", 0.0),
+        )
 
         if self.cfg.debug == 1:
             vis = image * image_meta["rgb_std"] + image_meta["rgb_mean"]

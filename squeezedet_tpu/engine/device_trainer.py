@@ -77,6 +77,7 @@ class DeviceTrainer:
             flip_prob=cfg.flip_prob,
             rgb_mean=tuple(np.ravel(cfg.rgb_mean).tolist()),
             rgb_std=tuple(np.ravel(cfg.rgb_std).tolist()),
+            match_iou=getattr(cfg, "match_iou", 0.0),
         )
         self.spec = spec
 

@@ -125,13 +125,20 @@ def match_anchors_device(boxes_xyxy, valid, anchors_xywh, anchors_xyxy):
 
 
 def encode_annotations_device(
-    class_ids, boxes_xyxy, count, anchors_xywh, anchors_xyxy, num_classes
+    class_ids, boxes_xyxy, count, anchors_xywh, anchors_xyxy, num_classes,
+    match_iou: float = 0.0,
 ):
     """Dense per-anchor GT tensor ``(A, num_classes + 9)`` from padded slots.
 
     Layout matches the host encoder (core/matching.py encode_annotations):
     ``[mask(1) | gt_box xyxy(4) | gt_deltas(4) | one-hot class]``. Invalid
     slots scatter to index A and are dropped.
+
+    ``match_iou > 0``: SSD-style multi-positive extras — every anchor whose
+    best IoU against a valid GT slot is >= the threshold becomes an extra
+    positive for that slot (first-max tie-break, greedy-unique assignments
+    win conflicts), exactly mirroring the host encoder's extras pass.
+    Parity: tests/test_device_data.py (test_encode_device_multi_positive).
     """
     num_anchors = anchors_xywh.shape[0]
     m = boxes_xyxy.shape[0]
@@ -146,4 +153,42 @@ def encode_annotations_device(
         [jnp.ones((m, 1)), boxes_xyxy, deltas, onehot], axis=1
     )
     gt = jnp.zeros((num_anchors, num_classes + 9), dtype=jnp.float32)
-    return gt.at[chosen].set(rows, mode="drop")
+    gt = gt.at[chosen].set(rows, mode="drop")
+
+    if match_iou > 0.0:
+        iou_all = jax.vmap(lambda b: _iou_one_vs_all(anchors_xyxy, b))(
+            boxes_xyxy
+        )  # (M, A)
+        iou_all = jnp.where(valid[:, None], iou_all, -jnp.inf)
+        best_slot = jnp.argmax(iou_all, axis=0)  # (A,) first-max tie-break
+        best_iou = jnp.max(iou_all, axis=0)
+        taken = jnp.zeros((num_anchors,), bool).at[chosen].set(True, mode="drop")
+        extra = (best_iou >= match_iou) & ~taken  # (A,)
+
+        boxes_xywh = _xyxy_to_xywh(boxes_xyxy)
+        g = boxes_xywh[best_slot]  # (A, 4); garbage where ~extra — masked out
+        a = anchors_xywh
+        # clamp w/h before the log: padded/degenerate slots can carry
+        # non-positive sizes and a NaN/-inf would survive the jnp.where
+        # in value terms only if selected — clamping keeps the unselected
+        # branch finite too (cheap insurance, bit-irrelevant when extra)
+        extra_deltas = jnp.stack(
+            [
+                (g[:, 0] - a[:, 0]) / a[:, 2],
+                (g[:, 1] - a[:, 1]) / a[:, 3],
+                jnp.log(jnp.maximum(g[:, 2], EPSILON) / a[:, 2]),
+                jnp.log(jnp.maximum(g[:, 3], EPSILON) / a[:, 3]),
+            ],
+            axis=1,
+        )
+        extra_rows = jnp.concatenate(
+            [
+                jnp.ones((num_anchors, 1)),
+                boxes_xyxy[best_slot],
+                extra_deltas,
+                onehot[best_slot],
+            ],
+            axis=1,
+        )
+        gt = jnp.where(extra[:, None], extra_rows, gt)
+    return gt

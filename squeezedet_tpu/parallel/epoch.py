@@ -128,6 +128,7 @@ class EpochSpec(NamedTuple):
     flip_prob: float
     rgb_mean: tuple[float, float, float]
     rgb_std: tuple[float, float, float]
+    match_iou: float = 0.0  # multi-positive matching threshold (0 = off)
 
 
 def _prep_batch(data: DeviceData, gather_images, idx_local, offsets, key,
@@ -167,7 +168,8 @@ def _prep_batch(data: DeviceData, gather_images, idx_local, offsets, key,
     tboxes = transform_boxes(boxes, sizes, aug, spec.out_size)
     gt = jax.vmap(
         lambda c, bx, n: encode_annotations_device(
-            c, bx, n, anchors_xywh, anchors_xyxy, spec.num_classes
+            c, bx, n, anchors_xywh, anchors_xyxy, spec.num_classes,
+            match_iou=spec.match_iou,
         )
     )(class_ids, tboxes, counts)
     return images, gt

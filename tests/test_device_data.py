@@ -575,3 +575,39 @@ def test_predict_epoch_tta_matches_host_tta_step():
             dets["boxes"][step][pos][k], ref["boxes"][i][k],
             rtol=1e-4, atol=1e-3, err_msg=f"sample {i}",
         )
+
+
+def test_encode_device_multi_positive_matches_host():
+    """The device extras pass (match_iou > 0) must reproduce the host
+    multi-positive encoder row for row, including anchors coinciding with
+    GT (guaranteed extras) and overlapping duplicates (conflict rule)."""
+    a_xywh = jnp.asarray(ANCHORS)
+    a_xyxy = jnp.asarray(xywh_to_xyxy(ANCHORS))
+    rng = np.random.RandomState(7)
+    total_extras = 0
+    for trial in range(12):
+        n = rng.randint(1, 13)
+        # half the boxes snap to anchors (dense extras), half are random
+        snap = rng.randint(0, ANCHORS.shape[0], n)
+        boxes = xywh_to_xyxy(ANCHORS[snap]).astype(np.float32)
+        jitter = rng.uniform(-3, 3, (n, 4)).astype(np.float32)
+        boxes[n // 2:] = np.clip(boxes[n // 2:] + jitter[n // 2:], 0, 159)
+        boxes[:, 2] = np.maximum(boxes[:, 2], boxes[:, 0] + 2)
+        boxes[:, 3] = np.maximum(boxes[:, 3], boxes[:, 1] + 2)
+        cls = rng.randint(0, 3, n)
+        host = encode_annotations(cls, boxes, ANCHORS, 3, match_iou=0.3)
+        total_extras += int(host[:, 0].sum()) - n
+
+        m = 16
+        pb = np.zeros((m, 4), np.float32)
+        pb[:n] = boxes
+        pc = np.zeros((m,), np.int32)
+        pc[:n] = cls
+        dev = np.asarray(
+            encode_annotations_device(
+                jnp.asarray(pc), jnp.asarray(pb), jnp.int32(n),
+                a_xywh, a_xyxy, 3, match_iou=0.3,
+            )
+        )
+        np.testing.assert_allclose(dev, host, atol=2e-4)
+    assert total_extras > 0  # the sweep actually exercised the extras pass

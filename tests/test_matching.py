@@ -69,3 +69,82 @@ def test_encode_annotations_empty():
     )
     assert gt.shape == (ANCHORS.shape[0], 12)
     assert np.all(gt == 0)
+
+
+# ---- multi-positive matching (--match_iou) --------------------------------
+
+def _decode(anchor_xywh, deltas):
+    cx = anchor_xywh[0] + anchor_xywh[2] * deltas[0]
+    cy = anchor_xywh[1] + anchor_xywh[3] * deltas[1]
+    w = anchor_xywh[2] * np.exp(deltas[2])
+    h = anchor_xywh[3] * np.exp(deltas[3])
+    return xywh_to_xyxy(np.array([[cx, cy, w, h]]))[0]
+
+
+def test_match_iou_zero_is_exact_parity():
+    rng = np.random.default_rng(3)
+    x1 = rng.uniform(0, 100, (6, 1))
+    y1 = rng.uniform(0, 50, (6, 1))
+    boxes = np.concatenate(
+        [x1, y1, x1 + rng.uniform(8, 50, (6, 1)), y1 + rng.uniform(8, 40, (6, 1))],
+        axis=1,
+    ).astype(np.float32)
+    cls = rng.integers(0, 3, 6)
+    a = encode_annotations(cls, boxes, ANCHORS, 3)
+    b = encode_annotations(cls, boxes, ANCHORS, 3, match_iou=0.0)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_multi_positive_extras_match_iou_oracle():
+    from squeezedet_tpu.core.boxes import compute_overlaps_one
+
+    boxes = xywh_to_xyxy(ANCHORS[[42]]).astype(np.float32)
+    iou = compute_overlaps_one(xywh_to_xyxy(ANCHORS), boxes[0])
+    # pick a threshold that provably admits several extra anchors
+    thresh = float(np.sort(iou)[-4])
+    assert thresh > 0
+
+    gt0 = encode_annotations(np.array([1]), boxes, ANCHORS, 3)
+    gt = encode_annotations(np.array([1]), boxes, ANCHORS, 3, match_iou=thresh)
+
+    # the greedy-unique row is untouched
+    np.testing.assert_array_equal(gt[42], gt0[42])
+    positives = np.nonzero(gt[:, 0] == 1.0)[0]
+    expected = set(np.nonzero(iou >= thresh)[0].tolist()) | {42}
+    assert set(positives.tolist()) == expected
+    assert len(positives) >= 4
+
+    # every extra row carries the GT box, its own-anchor deltas decoding
+    # back to the GT box, and the right one-hot class
+    for i in positives:
+        np.testing.assert_allclose(gt[i, 1:5], boxes[0], atol=1e-4)
+        np.testing.assert_allclose(
+            _decode(ANCHORS[i], gt[i, 5:9]), boxes[0], atol=1e-3
+        )
+        assert gt[i, 9:].tolist() == [0.0, 1.0, 0.0]
+
+
+def test_multi_positive_greedy_rows_win_conflicts():
+    # two identical GT boxes: greedy gives each a distinct anchor; the
+    # extras pass must not reassign the second GT's anchor to the first
+    # (taken anchors are excluded), and every duplicate-eligible anchor
+    # goes to the FIRST slot (first-max tie-break)
+    box = xywh_to_xyxy(ANCHORS[[42]]).astype(np.float32)
+    two = np.concatenate([box, box], axis=0)
+    cls = np.array([0, 2])
+    _, idx = match_anchors(two, ANCHORS)
+    gt = encode_annotations(cls, two, ANCHORS, 3, match_iou=0.4)
+    assert gt[idx[0], 9] == 1.0  # slot 0 keeps class 0
+    assert gt[idx[1], 11] == 1.0  # slot 1 keeps class 2
+    extras = [
+        i for i in np.nonzero(gt[:, 0] == 1.0)[0] if i not in set(idx.tolist())
+    ]
+    for i in extras:
+        assert gt[i, 9] == 1.0  # extras all credit the first slot
+
+
+def test_multi_positive_no_boxes():
+    gt = encode_annotations(
+        np.zeros((0,), np.int16), np.zeros((0, 4)), ANCHORS, 3, match_iou=0.5
+    )
+    assert np.all(gt == 0)
