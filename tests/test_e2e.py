@@ -139,9 +139,13 @@ def test_full_train_eval_cycle_device_data(tmp_path, monkeypatch):
 
     Runs with --ema_decay on, so the whole-epoch scan carries the EMA
     shadow, eval/model_best score the averaged weights, and state_last
-    round-trips them (tests/test_ema.py covers the unit math)."""
+    round-trips them (tests/test_ema.py covers the unit math).
+
+    Runs with --match_iou 0.6, so the on-device multi-positive extras
+    pass (ops/encode.py) is exercised end-to-end on the mesh; the host
+    e2e above covers the default single-positive path."""
     _make_kitti_tree(str(tmp_path / "data"), n_images=5)
-    cfg = _cfg(tmp_path, device_data=True, ema_decay=0.99)
+    cfg = _cfg(tmp_path, device_data=True, ema_decay=0.99, match_iou=0.6)
 
     import squeezedet_tpu.train as train_mod
 
