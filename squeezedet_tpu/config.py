@@ -57,6 +57,11 @@ class Config:
     print_interval: int = 10
     flip_prob: float = 0.5
     drift_prob: float = 1.0
+    erase_prob: float = 0.0  # random-erasing occlusion augmentation
+    #   (Zhong et al. 2017): with this probability, fill one random rect
+    #   (2-20% of the image) with the dataset mean, keeping full-extent GT
+    #   labels — trains amodal prediction from partial evidence. No
+    #   reference counterpart; see EVIDENCE.md round 3 (occ-2 plateau).
     forbid_resize: bool = False
     class_loss_weight: float = 1.0
     positive_score_loss_weight: float = 3.75
@@ -227,6 +232,9 @@ _FLAG_HELP = {
     "score_thresh": "discard detections scoring below this",
     "keep_top_k": "detections kept per image before NMS",
     "tta_flip": "merge detections from the image and its mirror (2x FLOPs)",
+    "erase_prob": "random-erasing occlusion augmentation probability "
+                  "(fills a 2-20%-area rect with the dataset mean; GT "
+                  "boxes keep their full extent)",
     "mixed_precision": "bf16 backbone compute (fp32 master weights and loss)",
     "data_parallel": "number of devices for SPMD data parallelism (0 = all)",
     "model_parallel": "devices for tensor (channel) parallelism; 1 = off",

@@ -177,6 +177,39 @@ def crop_or_pad(image, image_meta, target_size, boxes=None, pad_value=0.0):
     return image, image_meta, boxes
 
 
+def random_erase(image, image_meta, prob=0.0, rng=np.random, fill=0.0,
+                 area_range=(0.02, 0.2), aspect_range=(0.3, 1.0 / 0.3)):
+    """Random-erasing occlusion augmentation (Zhong et al. 2017).
+
+    With probability ``prob``, fills one rectangle (area fraction
+    ~ U(area_range), aspect ~ logU(aspect_range), placed uniformly inside
+    the image) with ``fill`` — zero in whitened space, or the dataset RGB
+    mean on the raw-uint8 path, which whitens to ~zero on device. Applied
+    AFTER the fixed-size resize so the erased fraction is resolution-
+    independent. GT boxes are deliberately untouched: the occluded object
+    keeps its full-extent label, so the model is trained to predict amodal
+    boxes from partial evidence (the occ-2 failure mode, EVIDENCE.md).
+    No reference counterpart; device twin ops/augment.py
+    sample_erase_params/apply_erase (parity-tested in tests/test_erase.py).
+    """
+    rect = np.zeros(4, dtype=np.int32)  # y1, x1, y2, x2; zeros = no erase
+    if rng.uniform() < prob:
+        h, w = image.shape[:2]
+        s = rng.uniform(*area_range) * h * w
+        r = np.exp(rng.uniform(np.log(aspect_range[0]), np.log(aspect_range[1])))
+        eh = min(int(round(np.sqrt(s * r))), h)
+        ew = min(int(round(np.sqrt(s / r))), w)
+        if eh > 0 and ew > 0:
+            y = rng.randint(0, h - eh + 1)
+            x = rng.randint(0, w - ew + 1)
+            if not image.flags.writeable:
+                image = image.copy()
+            image[y : y + eh, x : x + ew, :] = fill
+            rect = np.array([y, x, y + eh, x + ew], dtype=np.int32)
+    image_meta.update({"erased": rect})
+    return image, image_meta
+
+
 def pad(image, padding, boxes=None, pad_value=0.0):
     """Pad by (top, bottom, left, right) with ``pad_value``; shifts boxes."""
     padding = np.asarray(padding)

@@ -25,6 +25,7 @@ from squeezedet_tpu.core.image import (
     crop_or_pad,
     drift,
     flip,
+    random_erase,
     resize,
     whiten,
 )
@@ -108,6 +109,14 @@ class BaseDataset:
             )
         else:
             image, image_meta, boxes = resize(image, image_meta, self.input_size, boxes)
+        erase_prob = (
+            getattr(self.cfg, "erase_prob", 0.0) if self.phase == "train" else 0.0
+        )
+        if erase_prob > 0.0:
+            image, image_meta = random_erase(
+                image, image_meta, erase_prob,
+                fill=pad_value if not whiten_input else 0.0,
+            )
         return image, image_meta, boxes
 
     def __getitem__(self, index: int) -> dict[str, Any]:

@@ -78,6 +78,7 @@ class DeviceTrainer:
             rgb_mean=tuple(np.ravel(cfg.rgb_mean).tolist()),
             rgb_std=tuple(np.ravel(cfg.rgb_std).tolist()),
             match_iou=getattr(cfg, "match_iou", 0.0),
+            erase_prob=getattr(cfg, "erase_prob", 0.0),
         )
         self.spec = spec
 

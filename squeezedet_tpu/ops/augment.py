@@ -71,6 +71,56 @@ def sample_aug_params(key, boxes, counts, sizes, drift_prob, flip_prob):
     return {"dy": dy, "dx": dx, "flip": do_flip}
 
 
+def sample_erase_params(key, batch, out_size, area_range=(0.02, 0.2),
+                        aspect_range=(0.3, 1.0 / 0.3)):
+    """Per-image random-erasing draws (Zhong et al. 2017 recipe).
+
+    Device twin of core/image.py random_erase: target area fraction
+    ~ U(area_range), aspect ratio ~ logU(aspect_range), position uniform
+    over placements keeping the rect inside the image. Returns dict of
+    (B,) int32 arrays {ey, ex, eh, ew}; a zero eh/ew disables the erase
+    for that image (the caller gates on the erase probability).
+    """
+    oh, ow = out_size
+    k_s, k_r, k_y, k_x = jax.random.split(key, 4)
+    s = jax.random.uniform(
+        k_s, (batch,), minval=area_range[0], maxval=area_range[1]
+    ) * (oh * ow)
+    logr = jax.random.uniform(
+        k_r, (batch,),
+        minval=jnp.log(aspect_range[0]), maxval=jnp.log(aspect_range[1]),
+    )
+    r = jnp.exp(logr)
+    eh = jnp.minimum(jnp.round(jnp.sqrt(s * r)), oh).astype(jnp.int32)
+    ew = jnp.minimum(jnp.round(jnp.sqrt(s / r)), ow).astype(jnp.int32)
+    ey = jnp.floor(
+        jax.random.uniform(k_y, (batch,)) * (oh - eh + 1)
+    ).astype(jnp.int32)
+    ex = jnp.floor(
+        jax.random.uniform(k_x, (batch,)) * (ow - ew + 1)
+    ).astype(jnp.int32)
+    return {"ey": ey, "ex": ex, "eh": eh, "ew": ew}
+
+
+def apply_erase(images, erase, on, fill):
+    """Fill each image's erase rect with ``fill`` ((3,) raw-space RGB).
+
+    ``on``: (B,) bool — images drawn below the erase probability pass
+    through untouched. Static-shape: the rect is realized as a broadcasted
+    iota mask, so XLA fuses the select into the surrounding elementwise
+    chain instead of emitting a dynamic-update-slice per image.
+    """
+    h, w = images.shape[1], images.shape[2]
+    ys = jnp.arange(h)[None, :, None]
+    xs = jnp.arange(w)[None, None, :]
+    ey = erase["ey"][:, None, None]
+    ex = erase["ex"][:, None, None]
+    iny = (ys >= ey) & (ys < ey + erase["eh"][:, None, None])
+    inx = (xs >= ex) & (xs < ex + erase["ew"][:, None, None])
+    mask = (iny & inx & on[:, None, None])[..., None]
+    return jnp.where(mask, jnp.asarray(fill, images.dtype), images)
+
+
 def _warp_one(image, hw, dy, dx, do_flip, out_size, pad_value):
     """Drift+flip+resize one (Hs, Ws, 3) image (any dtype) to float32
     ``out_size``; ``hw`` is the valid (H, W) region inside the storage."""

@@ -33,7 +33,9 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from squeezedet_tpu.ops.augment import (
+    apply_erase,
     sample_aug_params,
+    sample_erase_params,
     transform_boxes,
     warp_batch,
 )
@@ -129,6 +131,7 @@ class EpochSpec(NamedTuple):
     rgb_mean: tuple[float, float, float]
     rgb_std: tuple[float, float, float]
     match_iou: float = 0.0  # multi-positive matching threshold (0 = off)
+    erase_prob: float = 0.0  # random-erasing occlusion augmentation
 
 
 def _prep_batch(data: DeviceData, gather_images, idx_local, offsets, key,
@@ -149,6 +152,10 @@ def _prep_batch(data: DeviceData, gather_images, idx_local, offsets, key,
     sizes = data.sizes[gidx]
 
     if train:
+        if spec.erase_prob > 0.0:
+            # split only when enabled so erase-off runs keep the exact
+            # RNG stream of earlier recipes (bitwise replayability)
+            key, k_on, k_rect = jax.random.split(key, 3)
         aug = sample_aug_params(
             key, boxes, counts, sizes, spec.drift_prob, spec.flip_prob
         )
@@ -163,6 +170,11 @@ def _prep_batch(data: DeviceData, gather_images, idx_local, offsets, key,
     mean = jnp.asarray(spec.rgb_mean, jnp.float32)
     std = jnp.asarray(spec.rgb_std, jnp.float32)
     images = warp_batch(images_raw, sizes, aug, spec.out_size, pad_value=mean)
+    if train and spec.erase_prob > 0.0:
+        b = images.shape[0]
+        on = jax.random.uniform(k_on, (b,)) < spec.erase_prob
+        erase = sample_erase_params(k_rect, b, spec.out_size)
+        images = apply_erase(images, erase, on, mean)
     images = (images - mean) / std
 
     tboxes = transform_boxes(boxes, sizes, aug, spec.out_size)
