@@ -36,6 +36,7 @@ from squeezedet_tpu.models.classifier import (
     forward_classifier,
     init_classifier_params,
 )
+from squeezedet_tpu.ops.augment import apply_erase, sample_erase_params
 from squeezedet_tpu.parallel.mesh import make_mesh
 from squeezedet_tpu.parallel.train import (
     TrainState,
@@ -69,13 +70,15 @@ def _whiten(x_u8, mean, std):
 
 
 def make_pretrain_epoch(spec: ClassifierSpec, tx, mesh, rgb_mean, rgb_std,
-                        ema_decay: float = 0.0):
+                        ema_decay: float = 0.0, erase_prob: float = 0.0):
     """One dispatch = one training epoch over staged crops.
 
     Returns ``epoch_fn(state, images_u8, labels, perm, lr, rng)`` where
     ``perm`` is (steps, batch) int32 sample indices (host-shuffled).
     ``ema_decay`` > 0 carries the EMA shadow through the epoch scan
-    exactly like the detection path (parallel/train.py)."""
+    exactly like the detection path (parallel/train.py); ``erase_prob``
+    > 0 applies random erasing (ops/augment.py, fill 0 = whitened mean)
+    after the flip — its original classification setting."""
     mean = jnp.asarray(np.ravel(rgb_mean), jnp.float32)
     std = jnp.asarray(np.ravel(rgb_std), jnp.float32)
     batch_sh = NamedSharding(mesh, P("data"))
@@ -98,6 +101,14 @@ def make_pretrain_epoch(spec: ClassifierSpec, tx, mesh, rgb_mean, rgb_std,
             flip_key, drop_key = jax.random.split(jax.random.fold_in(key, 0))
             do_flip = jax.random.bernoulli(flip_key, 0.5, (x.shape[0], 1, 1, 1))
             x = jnp.where(do_flip, x[:, :, ::-1, :], x)
+            if erase_prob > 0.0:
+                # fold_in(1): erase-off epochs keep their exact RNG stream
+                k_on, k_rect = jax.random.split(jax.random.fold_in(key, 1))
+                on = jax.random.bernoulli(k_on, erase_prob, (x.shape[0],))
+                rect = sample_erase_params(
+                    k_rect, x.shape[0], (x.shape[1], x.shape[2])
+                )
+                x = apply_erase(x, rect, on, 0.0)
             (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 state.params, x, y, drop_key
             )
@@ -202,7 +213,8 @@ def pretrain(cfg) -> None:
     val_labels = jax.device_put(data["val"][1], repl)
 
     epoch_fn = make_pretrain_epoch(
-        spec, tx, mesh, rgb_mean, rgb_std, ema_decay=ema_decay
+        spec, tx, mesh, rgb_mean, rgb_std, ema_decay=ema_decay,
+        erase_prob=float(getattr(cfg, "erase_prob", 0.0)),
     )
     eval_fn = make_eval_fn(spec, mesh, rgb_mean, rgb_std)
     val_idx = _step_indices(len(data["val"][0]), cfg.batch_size)

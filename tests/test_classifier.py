@@ -157,7 +157,9 @@ def test_pretrain_driver_e2e(tmp_path):
     task, exports a loadable torchvision-format backbone. Runs with
     --ema_decay on so the epoch scan carries the shadow and val/export
     score the averaged weights (the ramped decay keeps the early EMA close
-    to the live params, so the accuracy assertion is unaffected)."""
+    to the live params, so the accuracy assertion is unaffected), and
+    --erase_prob on so the scan carries the random-erasing fill (val is
+    un-erased, so the toy task stays separable)."""
     from squeezedet_tpu.pretrain import pretrain
 
     data_dir = str(tmp_path / "crops")
@@ -166,6 +168,7 @@ def test_pretrain_driver_e2e(tmp_path):
         mode="pretrain", exp_id="pretrain_test", data_dir=data_dir,
         lr=0.01, num_epochs=6, batch_size=16, val_intervals=3,
         save_intervals=6, dropout_prob=0.0, seed=3, ema_decay=0.9,
+        erase_prob=0.5,
     )
     cfg.finalize_dirs(root_dir=str(tmp_path))
     pretrain(cfg)
