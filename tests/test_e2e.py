@@ -86,8 +86,10 @@ def _cfg(tmp_path, **overrides):
 
 
 def test_full_train_eval_cycle(tmp_path, monkeypatch):
+    # erase_prob on: the host loader's random_erase runs inside the worker
+    # pipeline (val/eval phases stay un-erased via the phase gate)
     _make_kitti_tree(str(tmp_path / "data"))
-    cfg = _cfg(tmp_path)
+    cfg = _cfg(tmp_path, erase_prob=0.5)
 
     import squeezedet_tpu.train as train_mod
 
