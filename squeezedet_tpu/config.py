@@ -17,6 +17,7 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import os
+import sys
 from dataclasses import dataclass, field
 from typing import Any
 
@@ -192,7 +193,17 @@ class Config:
         # default, applied only when the user left the config default
         ds_thresh = getattr(dataset, "default_score_thresh", None)
         field_default = type(self).__dataclass_fields__["score_thresh"].default
-        if ds_thresh is not None and self.score_thresh == field_default:
+        # "left at default" must mean the flag was not on the command line —
+        # an explicit `--score_thresh 0.3` equals the dataclass default but
+        # is still the user's chosen operating point (parse() records the
+        # flags it saw; directly-constructed Configs fall back to the
+        # value check)
+        explicit = "score_thresh" in getattr(self, "_explicit_flags", frozenset())
+        if (
+            ds_thresh is not None
+            and not explicit
+            and self.score_thresh == field_default
+        ):
             print(
                 f"[config] score_thresh {self.score_thresh} -> {ds_thresh} "
                 f"({type(dataset).__name__} protocol default; pass "
@@ -300,6 +311,18 @@ def build_parser() -> argparse.ArgumentParser:
 def parse(argv: list[str] | None = None) -> Config:
     args = build_parser().parse_args(argv)
     cfg = Config(**vars(args))
+    # remember which flags were explicitly on the command line (dataset
+    # protocol defaults must not override an explicit user value even when
+    # it coincides with the dataclass default)
+    raw = sys.argv[1:] if argv is None else list(argv)
+    explicit = set()
+    for tok in raw:
+        if tok.startswith("--"):
+            name = tok[2:].split("=", 1)[0].replace("-", "_")
+            explicit.add(name)
+            if name.startswith("no_"):
+                explicit.add(name[3:])  # _BoolFlag off switch
+    cfg._explicit_flags = frozenset(explicit)
     if cfg.master_batch_size != -1:
         print(
             "[config] --master_batch_size is a no-op: SPMD shards the batch "

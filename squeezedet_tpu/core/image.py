@@ -178,7 +178,8 @@ def crop_or_pad(image, image_meta, target_size, boxes=None, pad_value=0.0):
 
 
 def random_erase(image, image_meta, prob=0.0, rng=np.random, fill=0.0,
-                 area_range=(0.02, 0.2), aspect_range=(0.3, 1.0 / 0.3)):
+                 area_range=(0.02, 0.2), aspect_range=(0.3, 1.0 / 0.3),
+                 copy_on_write=False):
     """Random-erasing occlusion augmentation (Zhong et al. 2017).
 
     With probability ``prob``, fills one rectangle (area fraction
@@ -202,7 +203,11 @@ def random_erase(image, image_meta, prob=0.0, rng=np.random, fill=0.0,
         if eh > 0 and ew > 0:
             y = rng.randint(0, h - eh + 1)
             x = rng.randint(0, w - ew + 1)
-            if not image.flags.writeable:
+            # copy_on_write: the raw-uint8 pipeline can reach here with the
+            # dataset's RAM-cached array itself (fast_pipeline +
+            # forbid_resize leaves pad/crop as no-op/view) — writing the
+            # rect in place would corrupt the cache for every later epoch
+            if copy_on_write or not image.flags.writeable:
                 image = image.copy()
             image[y : y + eh, x : x + ew, :] = fill
             rect = np.array([y, x, y + eh, x + ew], dtype=np.int32)

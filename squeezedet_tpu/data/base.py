@@ -30,6 +30,7 @@ from squeezedet_tpu.core.image import (
     whiten,
 )
 from squeezedet_tpu.core.matching import encode_annotations
+from squeezedet_tpu.data.imageio import read_image
 
 
 class BaseDataset:
@@ -53,13 +54,40 @@ class BaseDataset:
         raise NotImplementedError
 
     def load_image(self, index: int):
-        raise NotImplementedError
+        image, image_id = self._load_cached(index)
+        return image.astype(np.float32), image_id
 
     def load_image_uint8(self, index: int):
-        """Raw-bytes variant for the uint8 fast pipeline; datasets with a
-        decoded cache can serve it without the float conversion."""
-        image, image_id = self.load_image(index)
-        return np.clip(image, 0, 255).astype(np.uint8), image_id
+        """Raw-bytes variant for the uint8 fast pipeline; served from the
+        decoded RAM cache without the float conversion. Datasets that only
+        implement ``load_image`` (no ``_image_source``) fall back to the
+        float path + cast."""
+        try:
+            return self._load_cached(index)
+        except NotImplementedError:
+            image, image_id = self.load_image(index)
+            return np.clip(image, 0, 255).astype(np.uint8), image_id
+
+    def _image_source(self, index: int) -> tuple[str, Any]:
+        """(image file path, image id) for ``_load_cached`` — the one hook
+        concrete datasets implement for image IO (kitti.py, coco.py)."""
+        raise NotImplementedError
+
+    def _load_cached(self, index: int):
+        """Decode-once uint8 image, served from the RAM cache when the
+        dataset enabled one (``cfg.cache_images``). NOTE: returns the
+        cached array itself — callers must not write to it (the preprocess
+        chain copies before any in-place mutation)."""
+        path, image_id = self._image_source(index)
+        cache = getattr(self, "_image_cache", None)
+        if cache is not None:
+            cached = cache.get(index)
+            if cached is not None:
+                return cached, image_id
+        image = np.clip(read_image(path), 0, 255).astype(np.uint8)
+        if cache is not None:
+            cache[index] = image
+        return image, image_id
 
     def load_annotations(self, index: int):
         raise NotImplementedError
@@ -113,9 +141,12 @@ class BaseDataset:
             getattr(self.cfg, "erase_prob", 0.0) if self.phase == "train" else 0.0
         )
         if erase_prob > 0.0:
+            # raw-uint8 mode (whiten_input=False) may hand us the dataset's
+            # cached array or a view of it — never write the erase in place
             image, image_meta = random_erase(
                 image, image_meta, erase_prob,
                 fill=pad_value if not whiten_input else 0.0,
+                copy_on_write=not whiten_input,
             )
         return image, image_meta, boxes
 

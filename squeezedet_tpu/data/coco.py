@@ -29,7 +29,6 @@ import numpy as np
 
 from squeezedet_tpu.core.anchors import generate_anchors
 from squeezedet_tpu.data.base import BaseDataset
-from squeezedet_tpu.data.imageio import read_image
 
 COCO_CLASS_NAMES = (
     "person", "bicycle", "car", "motorcycle", "airplane", "bus", "train",
@@ -122,25 +121,12 @@ class COCO(BaseDataset):
     def get_sample_ids(self):
         return self.sample_ids, None
 
-    def load_image(self, index: int):
-        image, image_id = self._load_cached(index)
-        return image.astype(np.float32), image_id
-
-    def load_image_uint8(self, index: int):
-        return self._load_cached(index)
-
-    def _load_cached(self, index: int):
+    def _image_source(self, index: int):
+        """JPEG path + numeric id for the shared decode-once cache
+        (base.py)."""
         info = self._images[index]
-        if self._image_cache is not None:
-            cached = self._image_cache.get(index)
-            if cached is not None:
-                return cached, info["id"]
         name = info.get("file_name", f"{info['id']:012d}.jpg")
-        image = read_image(os.path.join(self.data_dir, self.split, name))
-        image = np.clip(image, 0, 255).astype(np.uint8)
-        if self._image_cache is not None:
-            self._image_cache[index] = image
-        return image, info["id"]
+        return os.path.join(self.data_dir, self.split, name), info["id"]
 
     def load_annotations(self, index: int):
         """Non-crowd GT as contiguous class ids + xyxy boxes (COCO stores

@@ -17,7 +17,6 @@ import numpy as np
 
 from squeezedet_tpu.core.anchors import generate_anchors
 from squeezedet_tpu.data.base import BaseDataset
-from squeezedet_tpu.data.imageio import read_image
 
 KITTI_INPUT_SIZE = (384, 1248)
 KITTI_CLASS_NAMES = ("Car", "Pedestrian", "Cyclist")
@@ -70,25 +69,11 @@ class KITTI(BaseDataset):
             sample_ids = tuple(line.strip() for line in fp if line.strip())
         return sample_ids, sample_set_path
 
-    def load_image(self, index: int):
-        image, image_id = self._load_cached(index)
-        return image.astype(np.float32), image_id
-
-    def load_image_uint8(self, index: int):
-        return self._load_cached(index)
-
-    def _load_cached(self, index: int):
-        """Decoded uint8 image, served from the RAM cache when enabled."""
+    def _image_source(self, index: int):
+        """PNG path + id for the shared decode-once cache (base.py)."""
         image_id = self.sample_ids[index]
-        if self._image_cache is not None:
-            cached = self._image_cache.get(index)
-            if cached is not None:
-                return cached, image_id
         path = os.path.join(self.data_dir, "training/image_2", image_id + ".png")
-        image = read_image(path).astype(np.uint8)
-        if self._image_cache is not None:
-            self._image_cache[index] = image
-        return image, image_id
+        return path, image_id
 
     def load_annotations(self, index: int):
         ann_id = self.sample_ids[index]

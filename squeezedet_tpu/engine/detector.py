@@ -79,6 +79,13 @@ class Detector:
     def _run_predict(self, images):
         """Dispatch one batch through the active serving path."""
         if self.serve_int8:
+            if images.dtype == jnp.uint8:
+                # calibrating absmax on raw 0-255 pixels would silently
+                # wreck every activation scale — fail loudly instead
+                raise ValueError(
+                    "int8 serving requires whitened float batches, got "
+                    "uint8 (uint8 ingest is disabled under --serve_int8)"
+                )
             if self.qparams is None:
                 # absmax PTQ calibration on the first batch (models/quant.py)
                 from squeezedet_tpu.models.quant import (

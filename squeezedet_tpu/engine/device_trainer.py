@@ -214,10 +214,11 @@ class DeviceTrainer:
             raise result
         return result
 
-    def _fetch_guarded(self, stats, epoch):
-        """D2H readback with the hang watchdog (see _guarded)."""
+    def _fetch_guarded(self, stats, label):
+        """D2H readback with the hang watchdog (see _guarded); ``label``
+        names the phase for the stall diagnostic (e.g. "epoch 12", "eval")."""
         return self._guarded(
-            lambda: jax.device_get(stats), f"device readback at epoch {epoch}"
+            lambda: jax.device_get(stats), f"device readback at {label}"
         )
 
     def train_epoch(self, epoch: int, loader=None) -> dict[str, float]:
@@ -227,7 +228,7 @@ class DeviceTrainer:
         self.state, stats = self.train_epoch_fn(
             self.state, self.train_data, lr, key
         )
-        stats = self._fetch_guarded(stats, epoch)  # one D2H sync per epoch
+        stats = self._fetch_guarded(stats, f"epoch {epoch}")  # one D2H sync per epoch
         out = self._summarize(
             stats, "train", epoch, (time.time() - start) / 60.0
         )
@@ -237,7 +238,8 @@ class DeviceTrainer:
     def val_epoch(self, epoch: int, loader=None) -> dict[str, float]:
         start = time.time()
         stats = self._fetch_guarded(
-            self.val_epoch_fn(self.eval_params, self.val_data), epoch
+            self.val_epoch_fn(self.eval_params, self.val_data),
+            f"val epoch {epoch}",
         )
         stats = dict(stats)
         weights = np.asarray(stats.pop("num_valid"))

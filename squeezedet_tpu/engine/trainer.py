@@ -43,6 +43,12 @@ class Trainer:
             if n == 0:
                 # auto: largest device count that divides the batch evenly
                 n = len(jax.devices()) // n_model
+                if n < 1:
+                    raise ValueError(
+                        f"--model_parallel {n_model} needs at least "
+                        f"{n_model} devices, but only "
+                        f"{len(jax.devices())} are visible"
+                    )
                 while cfg.batch_size % n != 0:
                     n -= 1
             if n_model > 1:

@@ -96,10 +96,16 @@ def put_device_data(
                 f"pad_to_batch {pad_to_batch} not divisible by mesh size {ndev}"
             )
         n_use = -(-n // pad_to_batch) * pad_to_batch
-        sel = np.arange(n_use) % n  # wrap-around padding indices
+        if n_use == n:
+            # already a full multiple: skip the fancy-index copy of the
+            # multi-GB image array
+            def take(a):
+                return np.asarray(a)
+        else:
+            sel = np.arange(n_use) % n  # wrap-around padding indices
 
-        def take(a):
-            return np.asarray(a)[sel]
+            def take(a):
+                return np.asarray(a)[sel]
 
     else:
         n_use = (n // ndev) * ndev

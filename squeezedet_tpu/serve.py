@@ -314,6 +314,10 @@ def serve(cfg) -> None:
         )
 
     detector = Detector(params, task, cfg)
+    # the Detector may disable uint8 ingest (e.g. --serve_int8 quantizes
+    # whitened float inputs); mirror its decision so the warm-up batch and
+    # the request handler ship the dtype the active path expects
+    cfg.serve_uint8 = detector.serve_uint8
     # compile + warm the serving path before accepting traffic
     warm = np.zeros(
         (cfg.batch_size, *cfg.input_size, 3),

@@ -99,3 +99,27 @@ def test_cli_crash_only_exit_code():
         env={**os.environ, "JAX_PLATFORMS": "cpu"},
     )
     assert out.returncode == 13, (out.returncode, out.stderr[-500:])
+
+
+def test_explicit_score_thresh_survives_dataset_default():
+    """An explicit --score_thresh equal to the dataclass default must NOT
+    be replaced by a dataset protocol default (the parser records which
+    flags were actually on the command line)."""
+
+    class _DS:  # minimal dataset surface for update_dataset_info
+        input_size = (4, 4)
+        rgb_mean = rgb_std = 1.0
+        class_names = ("a",)
+        num_classes = 1
+        anchors = None
+        anchors_per_grid = 1
+        num_anchors = 1
+        default_score_thresh = 0.01
+
+    cfg = parse(["eval", "--score_thresh", "0.3"])
+    cfg.update_dataset_info(_DS())
+    assert cfg.score_thresh == 0.3  # explicit value kept
+
+    cfg = parse(["eval"])
+    cfg.update_dataset_info(_DS())
+    assert cfg.score_thresh == 0.01  # defaulted -> protocol default applies

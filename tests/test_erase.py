@@ -122,3 +122,17 @@ def test_prep_batch_erase_zeroes_a_rect_per_image():
     np.testing.assert_array_equal(
         np.asarray(gt_on), np.asarray(gt_off)
     )
+
+
+def test_host_erase_copy_on_write_protects_source():
+    """copy_on_write must leave the caller's array untouched (the raw-uint8
+    pipeline can pass the dataset's RAM-cached image itself)."""
+    rng = np.random.RandomState(1)
+    img = rng.randint(0, 256, (64, 96, 3)).astype(np.uint8)
+    orig = img.copy()
+    out, meta = random_erase(
+        img, {}, prob=1.0, rng=rng, fill=127, copy_on_write=True
+    )
+    np.testing.assert_array_equal(img, orig)  # source untouched
+    y1, x1, y2, x2 = meta["erased"]
+    assert np.all(out[y1:y2, x1:x2] == 127)

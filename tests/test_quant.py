@@ -1,6 +1,7 @@
 """Int8 PTQ serving path (models/quant.py): arithmetic correctness and
 detection-level agreement with the float model."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -133,3 +134,31 @@ def test_detector_serve_int8(tmp_path, monkeypatch):
     assert len(results) == len(dataset)
     assert det.qparams is not None  # calibration ran
     assert det.qparams["stem"]["w"].dtype == jnp.int8
+
+
+def test_int8_rejects_uint8_batch(tmp_path):
+    """A raw uint8 batch into the int8 path must fail loudly — calibrating
+    absmax on 0-255 pixels would silently wreck every activation scale
+    (serve.py mirrors detector.serve_uint8 so its requests never hit this)."""
+    from tests.test_e2e import TinyKITTI, _cfg, _make_kitti_tree
+    from squeezedet_tpu.engine.detector import Detector
+    from squeezedet_tpu.models.squeezedet import init_params
+    from squeezedet_tpu.parallel.train import TaskSpec
+
+    _make_kitti_tree(str(tmp_path / "data"))
+    cfg = _cfg(tmp_path, serve_int8=True, mode="eval")
+    dataset = TinyKITTI("val", cfg)
+    cfg.update_dataset_info(dataset)
+    task = TaskSpec(
+        model=ModelSpec(
+            num_classes=3, anchors_per_grid=9, dropout_prob=0.0,
+            init_scheme="he",
+        ),
+        input_size=dataset.input_size,
+        num_anchors=dataset.num_anchors,
+    )
+    det = Detector(init_params(jax.random.PRNGKey(0), task.model), task, cfg)
+    assert det.serve_uint8 is False  # int8 disabled uint8 ingest
+    raw = jnp.zeros((cfg.batch_size, *dataset.input_size, 3), jnp.uint8)
+    with pytest.raises(ValueError, match="whitened float"):
+        det._run_predict(raw)

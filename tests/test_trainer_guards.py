@@ -113,7 +113,7 @@ def test_device_trainer_dispatch_watchdog(monkeypatch):
         dt.jax, "device_get", lambda s: _time.sleep(5.0)
     )
     with pytest.raises(RuntimeError, match="resume"):
-        trainer._fetch_guarded({"loss": None}, epoch=7)
+        trainer._fetch_guarded({"loss": None}, "epoch 7")
 
     # the generic guard covers staging H2D too (a wedge before the first
     # epoch must die loudly — the supervisor can't see a silent hang)
