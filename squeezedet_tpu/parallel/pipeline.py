@@ -250,15 +250,33 @@ def make_pipeline(task: TaskSpec, devices, n_stages: int | None = None) -> Pipel
     stages = split_stages(task, n_stages)
 
     fwd, head_rng, bwd = [], [], []
-    for stage in stages:
+    for si, stage in enumerate(stages):
         fn, takes_rng = _make_stage_fn(task, stage)
         fwd.append(fn)
         head_rng.append(takes_rng)
+        # stage 0's input is the image batch: nothing consumes d loss/d x
+        # there, so differentiate w.r.t. params only and skip the full
+        # (B, H, W, 3) input-gradient backward conv every microbatch
         if takes_rng:
+            if si == 0:
 
-            def bwd_fn(p, x, g, rng, _fn=fn):
-                _, vjp = jax.vjp(lambda pp, xx: _fn(pp, xx, rng), p, x)
-                return vjp(g)
+                def bwd_fn(p, x, g, rng, _fn=fn):
+                    _, vjp = jax.vjp(lambda pp: _fn(pp, x, rng), p)
+                    (gp,) = vjp(g)
+                    return gp, None
+
+            else:
+
+                def bwd_fn(p, x, g, rng, _fn=fn):
+                    _, vjp = jax.vjp(lambda pp, xx: _fn(pp, xx, rng), p, x)
+                    return vjp(g)
+
+        elif si == 0:
+
+            def bwd_fn(p, x, g, _fn=fn):
+                _, vjp = jax.vjp(lambda pp: _fn(pp, x), p)
+                (gp,) = vjp(g)
+                return gp, None
 
         else:
 

@@ -99,6 +99,15 @@ def shard_params_tp(mesh: Mesh, params, arch: str):
                 f"{name}.squeeze width {sq} is not divisible by the "
                 f"{n_model}-way model axis"
             )
+    # convdet is row-sharded over its INPUT channels (the body's output
+    # width) — check it too, or GSPMD silently pads the shard (the exact
+    # behavior this function exists to prevent)
+    cd_in = params["convdet"]["w"].shape[2]
+    if cd_in % n_model:
+        raise ValueError(
+            f"convdet input width {cd_in} is not divisible by the "
+            f"{n_model}-way model axis"
+        )
     return jax.device_put(params, tp_param_shardings(mesh, arch))
 
 

@@ -97,12 +97,23 @@ class DynamicBatcher:
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
-    def submit(self, image: np.ndarray, meta: dict) -> dict:
-        """Enqueue one preprocessed image; block until detection results."""
+    def submit(self, image: np.ndarray, meta: dict,
+               timeout_s: float = 600.0) -> dict:
+        """Enqueue one preprocessed image; block until detection results.
+
+        Bounded wait: a dead collector or a shutdown race must surface as
+        an error to the HTTP handler, never as a permanently hung client
+        connection (the default matches the dispatch watchdog bound)."""
+        if self._closed:
+            raise RuntimeError("server is shutting down")
         done = threading.Event()
         slot: dict[str, Any] = {}
         self._queue.put((image, meta, done, slot, time.time()))
-        done.wait()
+        if not done.wait(timeout_s):
+            raise TimeoutError(
+                f"detection not completed within {timeout_s:.0f}s "
+                "(collector stalled or dead — check /stats and server logs)"
+            )
         if "error" in slot:
             raise slot["error"]
         return slot["result"]
@@ -111,6 +122,18 @@ class DynamicBatcher:
         self._closed = True
         self._queue.put(None)  # wake the collector
         self._thread.join(timeout=5)
+        # fail any requests still queued behind the sentinel so their
+        # handler threads wake instead of waiting out the full timeout
+        while True:
+            try:
+                item = self._queue.get_nowait()
+            except Exception:
+                break
+            if item is None:
+                continue
+            _, _, done, slot, _ = item
+            slot["error"] = RuntimeError("server shut down before dispatch")
+            done.set()
 
     def _collect(self):
         """Block for the first request, then gather until full or timeout."""
@@ -147,27 +170,30 @@ class DynamicBatcher:
             items = self._collect()
             if not items:
                 continue
-            images = [it[0] for it in items]
-            metas = [it[1] for it in items]
-            # pad to the compiled batch shape; num_valid masks the tail
-            while len(images) < self.batch_size:
-                images.append(images[-1])
-            batch = {
-                "image": np.stack(images),
-                "image_metas": metas,
-                "num_valid": len(items),
-            }
+            # the collector must never die with waiters attached: any
+            # failure (stack, detect, result fan-out) is delivered to every
+            # item and the loop continues serving
             try:
+                images = [it[0] for it in items]
+                metas = [it[1] for it in items]
+                # pad to the compiled batch shape; num_valid masks the tail
+                while len(images) < self.batch_size:
+                    images.append(images[-1])
+                batch = {
+                    "image": np.stack(images),
+                    "image_metas": metas,
+                    "num_valid": len(items),
+                }
                 results = self.detector.detect(batch)
+                for (_, _, done, slot, _), result in zip(items, results):
+                    slot["result"] = result
+                    done.set()
+                self._record(len(items), items[0][4])
             except Exception as exc:  # deliver the failure to every waiter
                 for _, _, done, slot, _ in items:
-                    slot["error"] = exc
-                    done.set()
-                continue
-            for (_, _, done, slot, _), result in zip(items, results):
-                slot["result"] = result
-                done.set()
-            self._record(len(items), items[0][4])
+                    if not done.is_set():
+                        slot["error"] = exc
+                        done.set()
 
     def snapshot(self) -> dict:
         with self._lock:
@@ -243,16 +269,35 @@ def make_handler(batcher: DynamicBatcher, cfg, started: float):
             if not self.path.startswith("/detect"):
                 self._json(404, {"error": f"unknown path {self.path}"})
                 return
+            raw = bool(getattr(cfg, "serve_uint8", True))
+            if raw and "raw=0" in self.path:
+                # the ingest mode is a SERVER property: one compiled predict
+                # program, one batch dtype. A per-request float image inside
+                # a uint8 dynamic batch would be stacked to float32 and
+                # skip whitening for its uint8 batchmates — silently wrong
+                # detections. Bit-parity clients start the server with
+                # --no_serve_uint8 instead.
+                self._json(400, {
+                    "error": "raw=0 requires a float-ingest server; "
+                             "restart with --no_serve_uint8"
+                })
+                return
+            # client-side failures (bad bytes, undecodable image) -> 400
             try:
                 length = int(self.headers.get("Content-Length", 0))
                 data = self.rfile.read(length)
-                raw = getattr(cfg, "serve_uint8", True) and "raw=0" not in self.path
                 image = decode_image_bytes(data)
                 image, meta = preprocess_image(image, cfg, raw=raw)
+            except Exception as exc:
+                self._json(400, {"error": f"{type(exc).__name__}: {exc}"})
+                return
+            # server-side failures (dispatch, relay, shutdown) -> 500 so
+            # load balancers treat the instance as unhealthy
+            try:
                 result = batcher.submit(image, meta)
                 self._json(200, result_to_json(result, cfg.class_names))
             except Exception as exc:
-                self._json(400, {"error": f"{type(exc).__name__}: {exc}"})
+                self._json(500, {"error": f"{type(exc).__name__}: {exc}"})
 
     return Handler
 
@@ -291,6 +336,13 @@ def serve(cfg) -> None:
     from squeezedet_tpu.models.squeezedet import init_params
     from squeezedet_tpu.utils.checkpoint import load_any
 
+    if getattr(cfg, "dataset", "kitti") != "kitti":
+        raise SystemExit(
+            f"serve: --dataset {cfg.dataset} is not servable — the daemon "
+            "bakes in the KITTI geometry (input size, classes, anchors) so "
+            "it can start without the dataset on disk; score COCO "
+            "checkpoints with `main.py eval --dataset coco` instead"
+        )
     # dataset constants without requiring the dataset on disk (demo.py)
     cfg.input_size = KITTI_INPUT_SIZE
     cfg.rgb_mean, cfg.rgb_std = KITTI_RGB_MEAN, KITTI_RGB_STD

@@ -80,7 +80,9 @@ def _match_image(dets, gts, iou_thrs, area_rng, max_dets, ious_full=None):
     g_ignore = np.array(
         [
             bool(g.get("iscrowd", 0))
-            or not (area_rng[0] <= g["area"] < area_rng[1])
+            # pycocotools bounds are INCLUSIVE on both ends (an area of
+            # exactly 32^2 counts for both the small and medium bands)
+            or not (area_rng[0] <= g["area"] <= area_rng[1])
             for g in gts
         ],
         bool,
@@ -127,7 +129,7 @@ def _match_image(dets, gts, iou_thrs, area_rng, max_dets, ious_full=None):
     # unmatched detections outside the area range are ignored, not FP
     d_out = np.array(
         [
-            not (area_rng[0] <= d["bbox"][2] * d["bbox"][3] < area_rng[1])
+            not (area_rng[0] <= d["bbox"][2] * d["bbox"][3] <= area_rng[1])
             for d in dets
         ],
         bool,
