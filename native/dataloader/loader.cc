@@ -1,10 +1,14 @@
 // SqueezeDet-TPU native image loader.
 //
-// Fused PNG decode -> float32 RGB -> (optional) bilinear resize -> whiten
-// in one pass, exposed as a C ABI for ctypes. Replaces the reference's
-// skimage/cv2 + numpy per-sample pipeline (src/datasets/kitti.py:49-53,
-// src/utils/image.py:9-19,77-88) with native code that runs off the GIL so
-// host loader threads genuinely overlap.
+// PNG decode (sqdt_read_png) plus an optional fused decode -> float32 RGB
+// -> bilinear resize -> whiten pass (sqdt_load_resize_whiten), exposed as
+// a C ABI for ctypes; native code runs off the GIL so host loader threads
+// genuinely overlap. The production pipeline uses sqdt_read_png through
+// data/imageio.py (decode is the host bottleneck; resize/whiten stay in
+// the numpy recipe for bit-parity with the reference order,
+// src/utils/image.py:9-19,77-88). The fused entry point is kept for
+// serving-style pipelines that don't need that parity; parity-tested in
+// tests/test_native_loader.py.
 //
 // Build: make -C native/dataloader   ->  libsqdt_loader.so
 

@@ -346,8 +346,11 @@ CurvePair EvalClassDifficulty(int cls, int difficulty,
   out.precision.assign(kNumSamplePts, 0.0);
   if (compute_aos) out.aos.assign(kNumSamplePts, 0.0);
   for (size_t t = 0; t < thresholds.size(); ++t) {
-    out.precision[t] = tp[t] / static_cast<double>(tp[t] + fp[t]);
-    if (compute_aos) out.aos[t] = sim[t] / static_cast<double>(tp[t] + fp[t]);
+    // tp+fp can be 0 when every above-threshold det was absorbed by
+    // ignored GT / DontCare; 0/0 would poison the right-max below
+    const double denom = static_cast<double>(tp[t] + fp[t]);
+    out.precision[t] = denom > 0 ? tp[t] / denom : 0.0;
+    if (compute_aos) out.aos[t] = denom > 0 ? sim[t] / denom : 0.0;
   }
   // monotonicise from the right over the full 41-sample vector
   for (size_t t = 0; t < thresholds.size(); ++t) {
@@ -438,8 +441,15 @@ int main(int argc, char** argv) {
   mkdir(plot_dir.c_str(), 0755);
 
   for (int cls = 0; cls < kNumClasses; ++cls) {
-    if (!class_seen[cls]) continue;
     const std::string name = kClassNames[cls];
+    if (!class_seen[cls]) {
+      // a previous eval into the same result_dir may have written stats
+      // for this class; a stale file would be parsed as THIS run's AP
+      remove((result_dir + "/stats_" + name + "_detection.txt").c_str());
+      remove((result_dir + "/stats_" + name + "_ap.txt").c_str());
+      remove((result_dir + "/stats_" + name + "_orientation.txt").c_str());
+      continue;
+    }
 
     FILE* fp_det =
         fopen((result_dir + "/stats_" + name + "_detection.txt").c_str(), "w");
@@ -450,6 +460,11 @@ int main(int argc, char** argv) {
             ? fopen((result_dir + "/stats_" + name + "_orientation.txt").c_str(),
                     "w")
             : nullptr;
+    if (!fp_det || !fp_ap || (compute_aos && !fp_ori)) {
+      std::cerr << "cannot open stats files for writing in " << result_dir
+                << "\n";
+      return 1;
+    }
 
     CurvePair curves[kNumDifficulties];
     for (int d = 0; d < kNumDifficulties; ++d) {

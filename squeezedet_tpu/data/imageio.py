@@ -32,13 +32,17 @@ _native_checked = False
 def _get_native():
     global _native, _native_checked
     if not _native_checked:
-        _native_checked = True
+        # flag set LAST: a racing thread either recomputes the same result
+        # (native_loader._get_lib is serialized) or reads the final value —
+        # never caches None while the first loader is still mid-build
         try:
             from squeezedet_tpu.data import native_loader
 
             _native = native_loader if native_loader.available() else None
+            _native_checked = True
         except Exception:
             _native = None
+            _native_checked = True
     return _native
 
 

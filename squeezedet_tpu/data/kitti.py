@@ -114,7 +114,11 @@ class KITTI(BaseDataset):
 
     def evaluate(self) -> dict[str, float]:
         """Run the native AP evaluator and parse per-class/difficulty APs."""
-        from squeezedet_tpu.utils.kitti_eval import plot_pr_curves, run_kitti_eval
+        from squeezedet_tpu.utils.kitti_eval import (
+            parse_aps,
+            plot_pr_curves,
+            run_kitti_eval,
+        )
 
         run_kitti_eval(
             gt_dir=os.path.join(self.data_dir, "training"),
@@ -123,18 +127,4 @@ class KITTI(BaseDataset):
             num_images=len(self.sample_ids),
         )
         plot_pr_curves(self.results_dir)
-
-        aps: dict[str, float] = {}
-        for class_name in self.class_names:
-            stats_path = os.path.join(
-                self.results_dir, f"stats_{class_name.lower()}_ap.txt"
-            )
-            values = [0.0, 0.0, 0.0]
-            if os.path.exists(stats_path):
-                with open(stats_path) as fp:
-                    values = [float(line.split("=")[1]) for line in fp][:3]
-            for difficulty, v in zip(("easy", "moderate", "hard"), values):
-                aps[f"{class_name}_{difficulty}"] = v
-
-        aps["mAP"] = sum(aps.values()) / len(aps)
-        return aps
+        return parse_aps(self.results_dir, self.class_names)

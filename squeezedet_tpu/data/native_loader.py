@@ -1,7 +1,10 @@
 """ctypes bindings for the native C++ image loader (native/dataloader).
 
-The shared library fuses PNG decode + bilinear resize + whitening in C++
-(off the GIL), so DataLoader threads overlap for real on the host.
+The shared library decodes PNGs in C++ off the GIL, so DataLoader threads
+overlap for real on the host (decode is the host bottleneck; the
+production pipeline keeps resize/whiten in numpy for bit-parity with the
+reference order). A fused decode+resize+whiten entry point is also bound
+for serving-style pipelines that don't need that parity.
 """
 
 from __future__ import annotations
@@ -9,6 +12,7 @@ from __future__ import annotations
 import ctypes
 import os
 import subprocess
+import threading
 
 import numpy as np
 
@@ -21,50 +25,59 @@ _LIB_PATH = os.path.join(_NATIVE_DIR, "libsqdt_loader.so")
 
 _lib = None
 _load_attempted = False
+_load_lock = threading.Lock()
 
 
 def _get_lib():
+    """Build (as needed) + dlopen the loader, once per process.
+
+    Serialized: DataLoader worker threads race here on the first decode,
+    and an unlocked check-then-set would let a second racer observe
+    "attempted, no lib" and cache the cv2 fallback for the whole process.
+    make always runs (no-op when fresh) so a stale .so from before a
+    loader.cc change is rebuilt rather than silently reused."""
     global _lib, _load_attempted
-    if _load_attempted:
-        return _lib
-    _load_attempted = True
-    if not os.path.exists(_LIB_PATH):
+    with _load_lock:
+        if _load_attempted:
+            return _lib
+        _load_attempted = True
         try:
             subprocess.run(
                 ["make", "-C", _NATIVE_DIR], check=True, capture_output=True
             )
         except Exception:
+            if not os.path.exists(_LIB_PATH):
+                return None  # no toolchain and no prebuilt library
+        try:
+            lib = ctypes.CDLL(_LIB_PATH)
+        except OSError:
             return None
-    try:
-        lib = ctypes.CDLL(_LIB_PATH)
-    except OSError:
-        return None
 
-    lib.sqdt_png_size.argtypes = [
-        ctypes.c_char_p,
-        ctypes.POINTER(ctypes.c_int),
-        ctypes.POINTER(ctypes.c_int),
-    ]
-    lib.sqdt_png_size.restype = ctypes.c_int
-    lib.sqdt_read_png.argtypes = [
-        ctypes.c_char_p,
-        ctypes.POINTER(ctypes.c_float),
-        ctypes.c_int,
-        ctypes.c_int,
-    ]
-    lib.sqdt_read_png.restype = ctypes.c_int
-    lib.sqdt_load_resize_whiten.argtypes = [
-        ctypes.c_char_p,
-        ctypes.POINTER(ctypes.c_float),
-        ctypes.c_int,
-        ctypes.c_int,
-        ctypes.POINTER(ctypes.c_float),
-        ctypes.POINTER(ctypes.c_float),
-        ctypes.POINTER(ctypes.c_int),
-    ]
-    lib.sqdt_load_resize_whiten.restype = ctypes.c_int
-    _lib = lib
-    return _lib
+        lib.sqdt_png_size.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.sqdt_png_size.restype = ctypes.c_int
+        lib.sqdt_read_png.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int,
+            ctypes.c_int,
+        ]
+        lib.sqdt_read_png.restype = ctypes.c_int
+        lib.sqdt_load_resize_whiten.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.sqdt_load_resize_whiten.restype = ctypes.c_int
+        _lib = lib
+        return _lib
 
 
 def available() -> bool:

@@ -38,16 +38,18 @@ _NATIVE_BIN = os.path.join(_NATIVE_DIR, "kitti_eval")
 
 
 def native_binary() -> str | None:
-    """Path to the built evaluator, building it if possible."""
-    if os.path.exists(_NATIVE_BIN):
-        return _NATIVE_BIN
+    """Path to the built evaluator, (re)building as needed.
+
+    Always runs make — a no-op when the binary is newer than the source,
+    but a stale binary from before a kitti_eval.cc change would otherwise
+    keep scoring with old semantics forever."""
     try:
         subprocess.run(
             ["make", "-C", _NATIVE_DIR], check=True, capture_output=True
         )
-        return _NATIVE_BIN if os.path.exists(_NATIVE_BIN) else None
     except Exception:
-        return None
+        pass  # no toolchain: fall through to whatever binary exists
+    return _NATIVE_BIN if os.path.exists(_NATIVE_BIN) else None
 
 
 def run_kitti_eval(
@@ -278,9 +280,13 @@ def _eval_class_difficulty(cls, difficulty, gts, dets, compute_aos):
                 agg[t, 3] += sim
 
     for t in range(len(thresholds)):
-        precision[t] = agg[t, 0] / (agg[t, 0] + agg[t, 1])
+        # tp+fp can be 0 when every above-threshold det was absorbed by
+        # ignored GT / DontCare; 0/0 would poison the right-max
+        # monotonicisation below with NaN
+        denom = agg[t, 0] + agg[t, 1]
+        precision[t] = agg[t, 0] / denom if denom > 0 else 0.0
         if compute_aos:
-            aos[t] = agg[t, 3] / (agg[t, 0] + agg[t, 1])
+            aos[t] = agg[t, 3] / denom if denom > 0 else 0.0
     for t in range(len(thresholds)):
         precision[t] = precision[t:].max()
         if compute_aos:
@@ -313,6 +319,13 @@ def evaluate_python(
 
     for cls, name in enumerate(CLASS_NAMES):
         if name not in seen:
+            # a previous eval into the same results_dir may have written
+            # stats for this class; a stale file would be parsed as THIS
+            # run's AP (inflating mAP and best-model selection)
+            for suffix in ("detection", "ap", "orientation"):
+                path = os.path.join(results_dir, f"stats_{name}_{suffix}.txt")
+                if os.path.exists(path):
+                    os.remove(path)
             continue
         det_lines, ap_lines, ori_lines = [], [], []
         curves = []
@@ -344,6 +357,15 @@ def evaluate_python(
                     f"{curves[d][0][i]:f}" for d in range(3)
                 ]
                 fp.write(" ".join(row) + "\n")
+        if compute_aos:  # C++ twin parity: AOS curve data for plot_pr_curves
+            with open(
+                os.path.join(plot_dir, f"{name}_orientation.txt"), "w"
+            ) as fp:
+                for i in range(N_SAMPLE_PTS):
+                    row = [f"{i / (N_SAMPLE_PTS - 1.0):f}"] + [
+                        f"{curves[d][1][i]:f}" for d in range(3)
+                    ]
+                    fp.write(" ".join(row) + "\n")
 
 
 def plot_pr_curves(results_dir: str) -> list[str]:

@@ -220,3 +220,20 @@ def test_native_matches_python(tmp_path, seed):
     assert len(native_stats) > 0
     for name in native_stats:
         assert native_stats[name] == py_stats[name], name
+
+
+@pytest.mark.parametrize("force_python", [True, False])
+def test_stale_stats_removed_for_unseen_class(tmp_path, force_python):
+    """Re-evaluating into the same results_dir must delete stats files for
+    classes with zero detections this run — a stale file from a previous
+    eval would be parsed as THIS run's AP, inflating mAP and best-model
+    selection (found by review; both evaluator twins)."""
+    gt_dir, image_set, results, n = _write_scene(tmp_path, _perfect_frames())
+    stale = os.path.join(results, "stats_pedestrian_ap.txt")
+    with open(stale, "w") as fp:  # pretend an earlier epoch detected peds
+        fp.write("AP=0.9\nAP=0.9\nAP=0.9\n")
+    run_kitti_eval(gt_dir, image_set, results, n, force_python=force_python)
+    assert not os.path.exists(stale)
+    aps = parse_aps(results)
+    assert aps["Pedestrian_easy"] == 0.0
+    assert aps["Car_easy"] == pytest.approx(1.0)
