@@ -271,8 +271,13 @@ def forward(
     if training and spec.dropout_prob > 0 and dropout_rng is None:
         raise ValueError("dropout_rng required when training with dropout")
 
+    stem_p = params["stem"]
+    if "m" in stem_p:
+        # raw-ingest params (fold_whitening): subtract the dataset mean on
+        # device so the conv's zero padding lands on whitened zero exactly
+        images = images.astype(jnp.float32) - stem_p["m"]
     x = jax.nn.relu(
-        _conv(images, params["stem"], stride=stem["stride"], pad=stem["pad"], dtype=dtype)
+        _conv(images, stem_p, stride=stem["stride"], pad=stem["pad"], dtype=dtype)
     )
     fire = _fire
     if spec.remat:
@@ -404,23 +409,33 @@ def pad_params_to_arch(params: Params, base_arch: str, padded_arch: str) -> Para
 
 
 def fold_whitening(params: Params, rgb_mean, rgb_std) -> Params:
-    """Absorb the per-channel whitening ``(x - mean) / std`` into the stem
-    conv so the network accepts *raw* 0-255 images.
+    """Absorb the whitening scale ``1/std`` into the stem conv and attach
+    the per-channel mean for on-device subtraction, so the network accepts
+    *raw* 0-255 images: serving ships uint8 batches (4x less host->HBM
+    traffic) and ``forward`` computes ``conv(W/s, x - m) + b`` — exactly
+    ``conv(W, (x - m)/s) + b`` at EVERY position, including the stem's
+    zero-padded borders, because padding zeros in ``x - m`` space ARE the
+    whitened-path padding zeros.
 
-    ``conv(W, (x - m)/s) + b == conv(W/s, x) + (b - sum_hw W m/s)`` exactly
-    (per-input-channel affine commutes with convolution). Serving can then
-    ship uint8 batches — 4x less host->HBM traffic — and convert to float
-    on device. Whitening semantics match the host path
-    (squeezedet_tpu.core.image.whiten).
+    (The earlier all-bias fold ``b - sum_hw W m/s`` was exact only for
+    interior windows: it subtracted the mean for kernel taps landing on
+    the conv's zero padding too, effectively padding with whitened black
+    — an O(1) stem-output error on border anchors with trained weights.
+    Found by review, reproduced numerically; tests/test_fold_whitening.py
+    pins the border rows now.)
+
+    Whitening semantics match the host path (core/image.whiten). The
+    ``"m"`` entry rides inside the folded stem dict; ``forward`` subtracts
+    it when present and ``_conv`` ignores it.
     """
     mean = jnp.asarray(np.ravel(np.asarray(rgb_mean)), jnp.float32)
     std = jnp.asarray(np.ravel(np.asarray(rgb_std)), jnp.float32)
 
     w = params["stem"]["w"]  # (kh, kw, 3, out)
-    b = params["stem"]["b"]
-    w_folded = w / std[None, None, :, None]
-    b_folded = b - jnp.einsum("hwco,c->o", w, mean / std)
-
     out = dict(params)
-    out["stem"] = {"w": w_folded, "b": b_folded}
+    out["stem"] = {
+        "w": w / std[None, None, :, None],
+        "b": params["stem"]["b"],
+        "m": mean,
+    }
     return out

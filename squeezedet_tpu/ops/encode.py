@@ -26,26 +26,14 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from squeezedet_tpu.ops.box_ops import xywh_to_xyxy, xyxy_to_xywh
+
 EPSILON = 1e-10
 
-
-def _xyxy_to_xywh(b):
-    """Corner -> center with the +1 width convention (core/boxes.py:24-37)."""
-    cx = (b[..., 0] + b[..., 2]) / 2.0
-    cy = (b[..., 1] + b[..., 3]) / 2.0
-    w = b[..., 2] - b[..., 0] + 1.0
-    h = b[..., 3] - b[..., 1] + 1.0
-    return jnp.stack([cx, cy, w, h], axis=-1)
-
-
-def _xywh_to_xyxy(b):
-    half_w = 0.5 * (b[..., 2] - 1.0)
-    half_h = 0.5 * (b[..., 3] - 1.0)
-    return jnp.stack(
-        [b[..., 0] - half_w, b[..., 1] - half_h,
-         b[..., 0] + half_w, b[..., 1] + half_h],
-        axis=-1,
-    )
+# single source of the +1-convention corner<->center math (CLAUDE.md calls
+# the convention out as correctness-critical — no second copy to drift)
+_xywh_to_xyxy = xywh_to_xyxy
+_xyxy_to_xywh = xyxy_to_xywh
 
 
 def _iou_one_vs_all(anchors_xyxy, box):
@@ -77,7 +65,9 @@ def match_anchors_device(boxes_xyxy, valid, anchors_xywh, anchors_xyxy):
     :param boxes_xyxy: (M, 4) padded GT boxes.
     :param valid: (M,) bool, True for real slots.
     :param anchors_xywh: (A, 4); ``anchors_xyxy``: (A, 4) same anchors.
-    :return: (chosen (M,) int32 — A for invalid slots, deltas (M, 4)).
+    :return: (chosen (M,) int32 — A for invalid slots, deltas (M, 4),
+        iou_all (M, A) — the assignment geometry, reused by the
+        multi-positive extras pass instead of recomputing it).
     """
     num_anchors = anchors_xywh.shape[0]
     boxes_xywh = _xyxy_to_xywh(boxes_xyxy)
@@ -121,7 +111,7 @@ def match_anchors_device(boxes_xyxy, valid, anchors_xywh, anchors_xyxy):
         jnp.zeros((num_anchors,), dtype=bool),
         (iou_all, dist_all, boxes_xywh, valid),
     )
-    return chosen, deltas
+    return chosen, deltas, iou_all
 
 
 def encode_annotations_device(
@@ -143,7 +133,7 @@ def encode_annotations_device(
     num_anchors = anchors_xywh.shape[0]
     m = boxes_xyxy.shape[0]
     valid = jnp.arange(m) < count
-    chosen, deltas = match_anchors_device(
+    chosen, deltas, iou_all = match_anchors_device(
         boxes_xyxy, valid, anchors_xywh, anchors_xyxy
     )
     onehot = jnp.eye(num_classes, dtype=jnp.float32)[
@@ -156,9 +146,8 @@ def encode_annotations_device(
     gt = gt.at[chosen].set(rows, mode="drop")
 
     if match_iou > 0.0:
-        iou_all = jax.vmap(lambda b: _iou_one_vs_all(anchors_xyxy, b))(
-            boxes_xyxy
-        )  # (M, A)
+        # reuse the assignment pass's (M, A) IoU matrix — the extras pass
+        # depends on exactly that geometry
         iou_all = jnp.where(valid[:, None], iou_all, -jnp.inf)
         best_slot = jnp.argmax(iou_all, axis=0)  # (A,) first-max tie-break
         best_iou = jnp.max(iou_all, axis=0)

@@ -39,7 +39,8 @@ from squeezedet_tpu.ops.augment import (
     transform_boxes,
     warp_batch,
 )
-from squeezedet_tpu.ops.encode import _xywh_to_xyxy, encode_annotations_device
+from squeezedet_tpu.ops.box_ops import xywh_to_xyxy
+from squeezedet_tpu.ops.encode import encode_annotations_device
 from squeezedet_tpu.parallel.mesh import DATA_AXIS
 from squeezedet_tpu.parallel.train import (
     TaskSpec,
@@ -254,7 +255,7 @@ def make_train_epoch(task: TaskSpec, spec: EpochSpec, mesh, anchors_np,
     steps = (n_loc * ndev) // batch_size
     gather_images = _make_gather(mesh)
     anchors_xywh = jnp.asarray(anchors_np, jnp.float32)
-    anchors_xyxy = _xywh_to_xyxy(anchors_xywh)
+    anchors_xyxy = xywh_to_xyxy(anchors_xywh)
     offsets_np = (np.arange(ndev) * n_loc)[:, None].astype(np.int32)
 
     @partial(jax.jit, donate_argnums=(0,))
@@ -296,7 +297,7 @@ def make_val_epoch(task: TaskSpec, spec: EpochSpec, mesh, anchors_np,
     steps = (n_loc * ndev) // batch_size
     gather_images = _make_gather(mesh)
     anchors_xywh = jnp.asarray(anchors_np, jnp.float32)
-    anchors_xyxy = _xywh_to_xyxy(anchors_xywh)
+    anchors_xyxy = xywh_to_xyxy(anchors_xywh)
     offsets_np = (np.arange(ndev) * n_loc)[:, None].astype(np.int32)
     idx_all = np.arange(steps * b_loc, dtype=np.int32).reshape(steps, 1, b_loc)
     idx_all = np.broadcast_to(idx_all, (steps, ndev, b_loc)).copy()
@@ -345,7 +346,7 @@ def make_predict_epoch(task: TaskSpec, spec: EpochSpec, mesh,
     steps = (n_loc * ndev) // batch_size
     gather_images = _make_gather(mesh)
     anchors_xywh = jnp.asarray(anchors_np, jnp.float32)
-    anchors_xyxy = _xywh_to_xyxy(anchors_xywh)
+    anchors_xyxy = xywh_to_xyxy(anchors_xywh)
     offsets_np = (np.arange(ndev) * n_loc)[:, None].astype(np.int32)
     idx_all = np.arange(steps * b_loc, dtype=np.int32).reshape(steps, 1, b_loc)
     idx_all = np.broadcast_to(idx_all, (steps, ndev, b_loc)).copy()

@@ -15,7 +15,8 @@ from squeezedet_tpu.core.matching import encode_annotations
 from squeezedet_tpu.data.device_data import StagedArrays, stage_dataset
 from squeezedet_tpu.models.squeezedet import ModelSpec, init_params
 from squeezedet_tpu.ops.augment import transform_boxes, warp_batch
-from squeezedet_tpu.ops.encode import _xywh_to_xyxy, encode_annotations_device
+from squeezedet_tpu.ops.box_ops import xywh_to_xyxy as xywh_to_xyxy_dev
+from squeezedet_tpu.ops.encode import encode_annotations_device
 from squeezedet_tpu.parallel.epoch import (
     EpochSpec,
     _make_gather,
@@ -216,7 +217,7 @@ def test_device_val_epoch_matches_manual():
 
     gather = _make_gather(mesh)
     a_xywh = jnp.asarray(ANCHORS)
-    a_xyxy = _xywh_to_xyxy(a_xywh)
+    a_xyxy = xywh_to_xyxy_dev(a_xywh)
     offsets = jnp.asarray((np.arange(8) * n_loc)[:, None].astype(np.int32))
     val_step = make_val_step(task)
     for s in range(steps):
@@ -260,7 +261,7 @@ def test_device_val_epoch_masks_padded_samples():
     # over only the REAL slots — must equal the epoch program's stats
     gather = _make_gather(mesh)
     a_xywh = jnp.asarray(ANCHORS)
-    a_xyxy = _xywh_to_xyxy(a_xywh)
+    a_xyxy = xywh_to_xyxy_dev(a_xywh)
     offsets_np = (np.arange(8) * n_loc)[:, None].astype(np.int32)
     offsets = jnp.asarray(offsets_np)
     for s in range(steps):

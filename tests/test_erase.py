@@ -9,7 +9,7 @@ import numpy as np
 
 from squeezedet_tpu.core.image import random_erase
 from squeezedet_tpu.ops.augment import apply_erase, sample_erase_params
-from squeezedet_tpu.ops.encode import _xywh_to_xyxy
+from squeezedet_tpu.ops.box_ops import xywh_to_xyxy
 from squeezedet_tpu.parallel.epoch import _make_gather, _prep_batch, put_device_data
 from squeezedet_tpu.parallel.mesh import make_mesh
 
@@ -89,7 +89,7 @@ def test_prep_batch_erase_zeroes_a_rect_per_image():
     data, n_loc, hw = put_device_data(mesh, _staged(16, seed=11))
     gather = _make_gather(mesh)
     a_xywh = jnp.asarray(ANCHORS)
-    a_xyxy = _xywh_to_xyxy(a_xywh)
+    a_xyxy = xywh_to_xyxy(a_xywh)
     offsets = jnp.asarray((np.arange(8) * n_loc)[:, None].astype(np.int32))
     idx = jnp.zeros((8, 1), jnp.int32)
     key = jax.random.PRNGKey(42)
