@@ -85,7 +85,17 @@ def guarded_backend_init(timeout_s: float = 180.0) -> None:
         try:
             import jax
 
-            out.put((True, len(jax.devices())))
+            n = len(jax.devices())
+            # A wedged relay can pass jax.devices() yet block the FIRST
+            # execute RPC forever (observed live 2026-08-19: a train run
+            # hung in init_params with 6s of CPU, init watchdog already
+            # passed, dispatch watchdog not yet armed). Force one tiny
+            # execute + D2H readback here so that failure class also
+            # lands inside this watchdog.
+            import jax.numpy as jnp
+
+            jax.device_get(jnp.zeros((1,), jnp.float32) + 1.0)
+            out.put((True, n))
         except BaseException as e:  # surface init errors to the caller
             out.put((False, e))
 

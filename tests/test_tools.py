@@ -236,6 +236,43 @@ def test_train_supervisor_outage_retries_do_not_burn_budget(tmp_path):
     assert "budget exhausted" in out.stdout
 
 
+def test_train_supervisor_fresh_run_outage_retries(tmp_path):
+    """rc=14 on a FRESH run (no state_last ever written) must retry, not
+    give up: an init/first-execute wedge before the first checkpoint is an
+    environment outage, not a training failure (observed live 2026-08-19:
+    a new run wedged in init_params and the supervisor abandoned it)."""
+    import subprocess
+    import sys
+
+    marker = tmp_path / "attempts.txt"
+    # fake trainer: two outage exits (rc=14, never writes state_last),
+    # then succeeds — under the old semantics the supervisor gave up
+    # after the first rc=14 because state_last did not exist
+    fake = tmp_path / "fake_train.py"
+    fake.write_text(
+        "import os, sys\n"
+        f"m = {str(marker)!r}\n"
+        "n = int(open(m).read()) if os.path.exists(m) else 0\n"
+        "open(m, 'w').write(str(n + 1))\n"
+        "sys.exit(14 if n < 2 else 0)\n"
+    )
+    out = subprocess.run(
+        [
+            sys.executable, "tools/train_supervisor.py",
+            "--max_restarts", "0", "--retry_delay_s", "0.05",
+            "--outage_backoff_max_s", "0.1",
+            "--train_cmd", f"{sys.executable} {fake}",
+            "--",
+            "--exp_id", "run5", "--save_dir", str(tmp_path / "exp" / "run5"),
+        ],
+        capture_output=True, text=True, cwd=os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert out.returncode == 0, out.stdout + out.stderr
+    assert open(marker).read() == "3"
+    assert out.stdout.count("not counted against the restart budget") == 2
+
+
 def test_average_checkpoints(tmp_path):
     """SWA tool: leaf-wise mean of orbax params checkpoints; refuses
     structural mismatches; output loads through the normal eval path."""

@@ -93,7 +93,12 @@ def main(argv=None) -> int:
             # immediately, so completion detection needs no metadata
             print("[supervisor] training completed", flush=True)
             return 0
-        if not os.path.isdir(state_last):
+        if not os.path.isdir(state_last) and rc != 14:
+            # A non-outage failure before the first checkpoint is a real
+            # training failure (bad flags, crash in staging) — relaunching
+            # would just repeat it. rc=14 is excluded: an init/first-execute
+            # wedge on a FRESH run (observed live 2026-08-19) is an
+            # environment outage and falls through to the backoff loop.
             print(
                 f"[supervisor] exited rc={rc} with no resumable state at "
                 f"{state_last}; giving up", flush=True,
