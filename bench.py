@@ -73,7 +73,16 @@ def _ensure_backend() -> None:
         try:
             import jax
 
-            out.put((True, len(jax.devices())))
+            n = len(jax.devices())
+            # The relay can pass jax.devices() yet wedge the FIRST
+            # execute (observed live 2026-08-19, same class fixed in
+            # utils/misc.guarded_backend_init) — probe one tiny execute
+            # + readback so that mode also lands in this watchdog
+            # instead of hanging the round driver in the first compile.
+            import jax.numpy as jnp
+
+            jax.device_get(jnp.zeros((1,), jnp.float32) + 1.0)
+            out.put((True, n))
         except BaseException as e:
             out.put((False, e))
 
@@ -100,8 +109,36 @@ def _ensure_backend() -> None:
     os.execv(sys.executable, [sys.executable] + sys.argv)
 
 
+def _arm_deadline() -> None:
+    """Crash-only whole-run deadline: a relay wedge on any LATER dispatch
+    (after the init probe passed) would otherwise hang the round driver
+    indefinitely. Exceeding the deadline exits rc=14 with a note on
+    stderr — no JSON line is printed, which is the honest signal that
+    the measurement could not be taken. Normal runs finish in ~3-5 min;
+    the default leaves headroom for cold compiles of every shape."""
+    import threading
+
+    deadline_s = float(os.environ.get("SQDT_BENCH_DEADLINE_S", "2400"))
+    if deadline_s <= 0:
+        return
+
+    def fire():
+        print(
+            f"[bench] run exceeded {deadline_s:.0f}s deadline — the relay "
+            "has likely wedged a dispatch mid-bench; exiting crash-only "
+            "so the driver is not hung.", file=sys.stderr,
+        )
+        sys.stderr.flush()
+        os._exit(14)
+
+    t = threading.Timer(deadline_s, fire)
+    t.daemon = True
+    t.start()
+
+
 def main() -> None:
     _ensure_backend()
+    _arm_deadline()
 
     import jax
     import jax.numpy as jnp
