@@ -170,3 +170,28 @@ def test_guarded_backend_init_exits_on_wedge():
     )
     assert proc.returncode == 14, proc.stderr
     assert "init-watchdog" in proc.stdout
+
+
+def test_guarded_backend_init_exits_on_first_execute_wedge():
+    """The sibling outage mode (observed live 2026-08-19): jax.devices()
+    SUCCEEDS but the first execute RPC blocks forever. The init guard
+    probes one tiny execute + readback, so this mode must also exit
+    rc=14 instead of hanging between the two watchdogs."""
+    import os
+    import subprocess
+    import sys
+
+    code = (
+        "import time, jax\n"
+        "jax.device_get = lambda x: time.sleep(60)\n"
+        "from squeezedet_tpu.utils.misc import guarded_backend_init\n"
+        "guarded_backend_init(0.5)\n"
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", code],
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env={**os.environ, "JAX_PLATFORMS": "cpu"},
+        capture_output=True, text=True, timeout=120,
+    )
+    assert proc.returncode == 14, proc.stderr
+    assert "init-watchdog" in proc.stdout
