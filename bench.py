@@ -60,38 +60,17 @@ def _ensure_backend() -> None:
     CPU-only pytest, which still dials at interpreter start) held it when
     we launched, backend registration failed permanently for this process
     — re-exec ourselves a few times before giving up. The relay can also
-    wedge the init RPC itself (hang, not fail — observed in production,
-    see utils/misc.guarded_backend_init), so init runs in a daemon thread
-    under a timeout and a stall re-execs the same retry loop; bench must
-    exit rather than hang the round driver."""
-    import queue
-    import threading
+    wedge the init RPC itself or the first execute (hang, not fail —
+    both observed in production), so the shared probe
+    (utils/misc.probe_backend: devices + tiny execute + readback under a
+    daemon-thread timeout) decides, and a stall re-execs the same retry
+    loop; bench must exit rather than hang the round driver."""
+    # importing misc is backend-free (module level only imports numpy)
+    from squeezedet_tpu.utils.misc import probe_backend
 
-    out: queue.Queue = queue.Queue(maxsize=1)
-
-    def work():
-        try:
-            import jax
-
-            n = len(jax.devices())
-            # The relay can pass jax.devices() yet wedge the FIRST
-            # execute (observed live 2026-08-19, same class fixed in
-            # utils/misc.guarded_backend_init) — probe one tiny execute
-            # + readback so that mode also lands in this watchdog
-            # instead of hanging the round driver in the first compile.
-            import jax.numpy as jnp
-
-            jax.device_get(jnp.zeros((1,), jnp.float32) + 1.0)
-            out.put((True, n))
-        except BaseException as e:
-            out.put((False, e))
-
-    threading.Thread(target=work, daemon=True).start()
     timeout_s = float(os.environ.get("SQDT_BENCH_INIT_TIMEOUT_S", "180"))
-    try:
-        ok, res = out.get(timeout=timeout_s)
-    except queue.Empty:
-        ok = False
+    ok, res = probe_backend(timeout_s)
+    if ok is None:
         res = RuntimeError(f"backend init stalled > {timeout_s:.0f}s "
                            "(relay wedge)")
     if ok:

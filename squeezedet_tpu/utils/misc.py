@@ -61,22 +61,21 @@ def init_env(cfg) -> None:
         )
 
 
-def guarded_backend_init(timeout_s: float = 180.0) -> None:
-    """Force JAX backend initialization under a hang watchdog.
+def probe_backend(timeout_s: float):
+    """Backend init + one tiny execute/readback in a daemon thread.
 
-    Production failure mode (observed plus_ft300 epoch 287 resume): the
-    axon relay wedges the backend-init RPC itself, so the process blocks
-    inside the first `jax.devices()` BEFORE the dispatch watchdog
-    (engine/device_trainer.py:_fetch_guarded) can ever arm. Init runs in
-    a daemon thread; on timeout we exit crash-only (the wedged RPC cannot
-    be cancelled in-process) so the supervisor
-    (tools/train_supervisor.py) relaunches with --resume. 0 disables.
+    The single shared probe behind every init watchdog (here and
+    bench.py): a wedged relay can hang the init RPC itself, or pass
+    `jax.devices()` and hang the FIRST execute (both observed live
+    2026-08-19) — so the probe forces device enumeration AND one tiny
+    execute + D2H readback. The wedged RPC cannot be cancelled
+    in-process, hence the daemon thread + timeout.
+
+    Returns (True, n_devices) on success, (False, exception) on an init
+    error, (None, None) on timeout (thread still wedged — the process
+    should exit crash-only rather than try to join it).
     """
-    if timeout_s <= 0:
-        return
-    import os
     import queue
-    import sys
     import threading
 
     out: queue.Queue = queue.Queue(maxsize=1)
@@ -86,12 +85,6 @@ def guarded_backend_init(timeout_s: float = 180.0) -> None:
             import jax
 
             n = len(jax.devices())
-            # A wedged relay can pass jax.devices() yet block the FIRST
-            # execute RPC forever (observed live 2026-08-19: a train run
-            # hung in init_params with 6s of CPU, init watchdog already
-            # passed, dispatch watchdog not yet armed). Force one tiny
-            # execute + D2H readback here so that failure class also
-            # lands inside this watchdog.
             import jax.numpy as jnp
 
             jax.device_get(jnp.zeros((1,), jnp.float32) + 1.0)
@@ -101,8 +94,30 @@ def guarded_backend_init(timeout_s: float = 180.0) -> None:
 
     threading.Thread(target=work, daemon=True).start()
     try:
-        ok, result = out.get(timeout=timeout_s)
+        return out.get(timeout=timeout_s)
     except queue.Empty:
+        return None, None
+
+
+def guarded_backend_init(timeout_s: float = 180.0) -> None:
+    """Force JAX backend initialization under a hang watchdog.
+
+    Production failure mode (observed plus_ft300 epoch 287 resume): the
+    axon relay wedges the backend-init RPC itself, so the process blocks
+    inside the first `jax.devices()` BEFORE the dispatch watchdog
+    (engine/device_trainer.py:_fetch_guarded) can ever arm. The probe
+    (probe_backend) also catches the pass-devices-wedge-first-execute
+    variant. On timeout we exit crash-only (the wedged RPC cannot be
+    cancelled in-process) so the supervisor (tools/train_supervisor.py)
+    relaunches with --resume. 0 disables.
+    """
+    if timeout_s <= 0:
+        return
+    import os
+    import sys
+
+    ok, result = probe_backend(timeout_s)
+    if ok is None:
         print(
             f"[init-watchdog] JAX backend init stalled > {timeout_s:.0f}s "
             "— the TPU relay has likely wedged the init RPC (known axon "

@@ -47,6 +47,14 @@ def main(argv=None) -> int:
     ap.add_argument("--outage_backoff_max_s", type=float, default=600.0,
                     help="ceiling for the exponential backoff between "
                     "init-wedge (rc=14) retries during a relay outage")
+    ap.add_argument("--max_outage_attempts", type=int, default=200,
+                    help="separate (large) cap on CONSECUTIVE rc=14 "
+                    "retries: ~33h of outage at the default backoff. "
+                    "Distinguishes a deterministic in-code hang that "
+                    "trips a watchdog on every launch (which must "
+                    "eventually surface as a failure) from a relay "
+                    "outage (which resolves well within the cap). "
+                    "0 = retry forever")
     ap.add_argument("--train_cmd", default="",
                     help="override the launched command (testing)")
     ap.add_argument("flags", nargs=argparse.REMAINDER,
@@ -113,10 +121,31 @@ def main(argv=None) -> int:
             # costs a handful of probe launches per hour, and the run
             # resumes by itself the moment the relay returns.
             outage_streak += 1
+            if args.max_outage_attempts and (
+                outage_streak > args.max_outage_attempts
+            ):
+                print(
+                    f"[supervisor] {outage_streak - 1} consecutive rc=14 "
+                    "attempts without progress exceeds "
+                    f"--max_outage_attempts={args.max_outage_attempts}. "
+                    "An outage this long is implausible — suspect a "
+                    "deterministic in-code hang tripping the watchdog "
+                    "every launch; giving up.", flush=True,
+                )
+                return 14
             delay = min(
                 args.retry_delay_s * (2 ** min(outage_streak - 1, 16)),
                 args.outage_backoff_max_s,
             )
+            if outage_streak % 10 == 0:
+                print(
+                    f"[supervisor] WARNING: {outage_streak} consecutive "
+                    "rc=14 launches with no progress. If the relay is "
+                    "healthy for other processes, this may be a "
+                    "deterministic in-code hang, not an outage "
+                    f"(cap: {args.max_outage_attempts or 'none'}).",
+                    flush=True,
+                )
             print(
                 f"[supervisor] init wedge (rc=14, outage attempt "
                 f"{outage_streak}); retrying in {delay:.0f}s — not counted "
