@@ -26,8 +26,21 @@ When to use: a model too large for one chip's HBM, or serving chains where
 stage placement rides ICI neighbours. SqueezeDet itself fits on any chip —
 this exists so the framework's parallelism surface (dp/tp/sp/pp) is
 complete and so the pattern is load-bearing for bigger backbones.
+
+**Composition with data parallelism (pp x dp)**: pass ``dp > 1`` and each
+stage owns a GROUP of ``dp`` devices instead of one — stage params are
+replicated over the group, activations are batch-sharded across it
+(NamedSharding over a per-stage 1-D mesh), and the inter-stage hop is a
+``device_put`` resharding from group k's batch sharding to group k+1's.
+Inside a stage the SPMD partitioner does the data-parallel work: forward
+convs partition trivially on batch, and the backward's contraction over
+the sharded batch dim makes XLA emit the intra-group gradient all-reduce
+— exactly the collective a replicated stage chain on a real pp x dp
+topology would ride over ICI. No new communication code.
+
 Parity: predict and grads match the single-device twins exactly on the
-virtual mesh (tests/test_pipeline.py); exercised by dryrun_multichip.
+virtual mesh, for pure pp and for pp x dp (tests/test_pipeline.py);
+exercised by dryrun_multichip.
 """
 
 from __future__ import annotations
@@ -168,32 +181,40 @@ def _make_stage_fn(task: TaskSpec, stage: list[tuple]):
 
 @dataclass
 class Pipeline:
-    """A compiled stage chain pinned to ``devices`` (one stage per device)."""
+    """A compiled stage chain. With ``dp == 1`` each stage is pinned to one
+    device; with ``dp > 1`` each stage owns a dp-device group — params
+    replicated over the group (``p_sh``), activations batch-sharded across
+    it (``x_sh``)."""
 
     task: TaskSpec
     stages: list[list[tuple]]
-    devices: list
+    devices: list  # all devices used, stage-major
+    x_sh: list  # per-stage activation placement (device or NamedSharding)
+    p_sh: list  # per-stage param placement (device or NamedSharding)
+    dp: int
     _fwd: list  # jitted stage fns
     _head_rng: list  # bool per stage: takes a dropout rng
     _bwd: list  # jitted recompute-vjp fns
-    _post: object  # jitted postprocess on the last device
-    _loss: object  # jitted loss + d(loss)/d(pred) on the last device
+    _post: object  # jitted postprocess on the last stage's devices
+    _loss: object  # jitted loss + d(loss)/d(pred) on the last stage's devices
 
     def place_params(self, params) -> list[dict]:
-        """Split + device_put the params onto the chain."""
+        """Split + device_put the params onto the chain (replicated over
+        each stage's dp group)."""
         return [
-            jax.device_put(p, d)
-            for p, d in zip(split_params(params, self.stages), self.devices)
+            jax.device_put(p, sh)
+            for p, sh in zip(split_params(params, self.stages), self.p_sh)
         ]
 
     def _forward(self, staged, images, rng=None, stash=None):
-        x = jax.device_put(images, self.devices[0])
+        assert images.shape[0] % self.dp == 0, (images.shape, self.dp)
+        x = jax.device_put(images, self.x_sh[0])
         for k, (fn, takes_rng) in enumerate(zip(self._fwd, self._head_rng)):
             if stash is not None:
                 stash.append(x)
             x = fn(staged[k], x, rng) if takes_rng else fn(staged[k], x)
             if k + 1 < len(self._fwd):
-                x = jax.device_put(x, self.devices[k + 1])
+                x = jax.device_put(x, self.x_sh[k + 1])
         return x
 
     def predict(self, staged: list[dict], microbatches, anchors):
@@ -201,7 +222,7 @@ class Pipeline:
         detection dicts. Dispatch is async — stage k runs microbatch m while
         stage k-1 runs m+1 — so issuing the whole stream before the first
         readback is what fills the pipeline."""
-        anchors = jax.device_put(anchors, self.devices[-1])
+        anchors = jax.device_put(anchors, self.p_sh[-1])
         return [
             self._post(self._forward(staged, mb), anchors)
             for mb in microbatches
@@ -210,11 +231,13 @@ class Pipeline:
     def loss_and_grads(self, staged, image_mbs, gt_mbs, anchors, rng=None):
         """GPipe with recompute: forward stashes stage INPUTS only; backward
         re-derives each stage's vjp from its input (rematerialisation) and
-        accumulates that stage's grads on its own device. Returns the mean
-        loss over microbatches and per-stage grad pytrees (resident on their
-        stage devices), scaled to match a single full-batch mean loss of
+        accumulates that stage's grads on its own device group (with dp > 1
+        the contraction over the sharded batch dim makes XLA all-reduce the
+        param grads inside the group). Returns the mean loss over
+        microbatches and per-stage grad pytrees (resident on their stage
+        devices), scaled to match a single full-batch mean loss of
         equal-size microbatches."""
-        anchors = jax.device_put(anchors, self.devices[-1])
+        anchors = jax.device_put(anchors, self.p_sh[-1])
         n_mb = len(image_mbs)
         losses, grads = [], [None] * len(self.stages)
         for m, (images, gt) in enumerate(zip(image_mbs, gt_mbs)):
@@ -223,11 +246,11 @@ class Pipeline:
             )
             stash: list = []
             pred = self._forward(staged, images, mb_rng, stash)
-            gt_d = jax.device_put(gt, self.devices[-1])
+            gt_d = jax.device_put(gt, self.x_sh[-1])
             loss, g = self._loss(pred, gt_d, anchors)
             losses.append(loss)
             for k in reversed(range(len(self.stages))):
-                g = jax.device_put(g, self.devices[k])
+                g = jax.device_put(g, self.x_sh[k])
                 if self._head_rng[k]:
                     gp, g = self._bwd[k](staged[k], stash[k], g, mb_rng)
                 else:
@@ -238,15 +261,30 @@ class Pipeline:
                 )
         scale = 1.0 / n_mb
         grads = [jax.tree.map(lambda x: x * scale, g) for g in grads]
-        return jnp.mean(jnp.stack([jax.device_put(l, self.devices[-1])
+        return jnp.mean(jnp.stack([jax.device_put(l, self.p_sh[-1])
                                    for l in losses])), grads
 
 
-def make_pipeline(task: TaskSpec, devices, n_stages: int | None = None) -> Pipeline:
+def make_pipeline(
+    task: TaskSpec, devices, n_stages: int | None = None, dp: int = 1
+) -> Pipeline:
+    """Build a pipeline over ``n_stages * dp`` devices (stage-major order:
+    devices[k*dp:(k+1)*dp] form stage k's data-parallel group)."""
     devices = list(devices)
-    n_stages = n_stages or len(devices)
-    assert len(devices) >= n_stages, (len(devices), n_stages)
-    devices = devices[:n_stages]
+    n_stages = n_stages or len(devices) // dp
+    assert dp >= 1 and len(devices) >= n_stages * dp, (
+        len(devices), n_stages, dp,
+    )
+    devices = devices[: n_stages * dp]
+    groups = [devices[k * dp:(k + 1) * dp] for k in range(n_stages)]
+    if dp == 1:
+        x_sh = p_sh = [g[0] for g in groups]
+    else:
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+        meshes = [Mesh(np.asarray(g), ("data",)) for g in groups]
+        x_sh = [NamedSharding(m, PartitionSpec("data")) for m in meshes]
+        p_sh = [NamedSharding(m, PartitionSpec()) for m in meshes]
     stages = split_stages(task, n_stages)
 
     fwd, head_rng, bwd = [], [], []
@@ -315,6 +353,7 @@ def make_pipeline(task: TaskSpec, devices, n_stages: int | None = None) -> Pipel
 
     return Pipeline(
         task=task, stages=stages, devices=devices,
+        x_sh=x_sh, p_sh=p_sh, dp=dp,
         _fwd=fwd, _head_rng=head_rng, _bwd=bwd,
         _post=post, _loss=loss_and_gpred,
     )

@@ -132,6 +132,70 @@ def test_pipeline_grads_match_single_device():
     )
 
 
+def test_pipeline_x_data_predict_matches_single_device():
+    """pp x dp composition: a 2-stage x 4-replica chain (8 devices) must be
+    numerically invisible for inference — every stage's activations are
+    batch-sharded over its group, hops reshard between groups."""
+    assert len(jax.devices()) >= 8
+    task = _task()
+    params = init_params(jax.random.PRNGKey(0), task.model)
+    anchors = jnp.asarray(ANCHORS)
+    images, _ = _batch(8)
+    mbs = [images[:4], images[4:]]
+
+    pipe = make_pipeline(task, jax.devices()[:8], n_stages=2, dp=4)
+    staged = pipe.place_params(params)
+    assert len(staged) == 2
+    # stage params replicated over the 4-device group
+    assert len(staged[0]["stem"]["w"].sharding.device_set) == 4
+    outs = pipe.predict(staged, mbs, anchors)
+
+    ref_step = make_predict_step(task)
+    for mb, out in zip(mbs, outs):
+        ref = ref_step(params, jnp.asarray(mb), anchors)
+        for key in ("keep", "class_ids", "scores", "boxes"):
+            np.testing.assert_allclose(
+                np.asarray(out[key]), np.asarray(ref[key]), rtol=1e-4,
+                atol=1e-4,
+            )
+
+
+@pytest.mark.parametrize("n_stages,dp", [(2, 4), (4, 2)])
+def test_pipeline_x_data_grads_match_single_device(n_stages, dp):
+    """pp x dp training parity on both 8-device factorizations: recompute
+    backward over batch-sharded stage groups (XLA all-reduces each group's
+    param grads over the sharded-batch contraction) must reproduce the
+    single-device full-batch gradient."""
+    assert len(jax.devices()) >= 8
+    task = _task()
+    params = init_params(jax.random.PRNGKey(0), task.model)
+    anchors = jnp.asarray(ANCHORS)
+    images, gt = _batch(8, seed=3)
+
+    pipe = make_pipeline(task, jax.devices()[:8], n_stages=n_stages, dp=dp)
+    staged = pipe.place_params(params)
+    loss, grads = pipe.loss_and_grads(
+        staged, [images[:4], images[4:]], [gt[:4], gt[4:]], anchors
+    )
+    merged = _merge([jax.device_get(g) for g in grads])
+
+    ref_loss, ref_grads = jax.value_and_grad(
+        lambda p: _loss_for_batch(
+            p, jnp.asarray(images), jnp.asarray(gt), anchors, task, None,
+            False,
+        )[0]
+    )(params)
+
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-5)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
+        ),
+        merged,
+        jax.tree.map(np.asarray, ref_grads),
+    )
+
+
 def test_pipeline_dropout_grads_match_single_device():
     assert len(jax.devices()) >= 2
     task = _task(dropout=0.5)
