@@ -68,6 +68,17 @@ def _ensure_backend() -> None:
     # importing misc is backend-free (module level only imports numpy)
     from squeezedet_tpu.utils.misc import probe_backend
 
+    platform = os.environ.get("SQDT_PLATFORM")
+    if platform:
+        # explicit backend override (e.g. SQDT_PLATFORM=cpu smoke-tests the
+        # bench logic without the TPU claim); same escape hatch as the CLI
+        # (utils/misc.init_env) — env vars alone cannot override the
+        # sitecustomize-pinned axon platform, jax.config before first
+        # backend use can
+        import jax
+
+        jax.config.update("jax_platforms", platform)
+
     timeout_s = float(os.environ.get("SQDT_BENCH_INIT_TIMEOUT_S", "180"))
     ok, res = probe_backend(timeout_s)
     if ok is None:
@@ -351,6 +362,96 @@ def main() -> None:
     train_s_per_step = (time.perf_counter() - t0) / (n_dispatch * K_DISPATCH)
     epoch_s = train_s_per_step * (3740 // BATCH)
 
+    # H2D bandwidth probe: the relay's host->device rate is NOT stable
+    # (measured 1.5 GB/s one day, ~25 MB/s the next — CLAUDE.md tunnel
+    # pathology) and it bounds any serving path whose inputs arrive over
+    # HTTP. Stamping the rate into the bench JSON makes the serve numbers
+    # below interpretable. A small device reduce + scalar readback forces
+    # completion (block_until_ready under-reports through the tunnel).
+    probe = np.random.default_rng(3).integers(
+        0, 255, (BATCH, *INPUT_SIZE, 3), dtype=np.uint8
+    )
+    sum_fn = jax.jit(lambda a: jnp.sum(a, dtype=jnp.int32))
+    float(sum_fn(jax.device_put(probe[:1])))  # compile
+    t0 = time.perf_counter()
+    float(sum_fn(jax.device_put(probe)))
+    h2d_mb_s = probe.nbytes / 1e6 / (time.perf_counter() - t0)
+
+    # serving daemon measured in-process (second TPU claims are refused):
+    # real HTTP server + dynamic batcher + raw-uint8 ingest clients.
+    # serve_rps is end-to-end RPS; on this tunnel it is H2D-bound
+    # (h2d_mb_s / 1.44 MB-per-frame is the wire ceiling), on a locally
+    # attached TPU the same path is host/HTTP-bound far higher.
+    serve_rps = serve_p50 = serve_p99 = None
+    if os.environ.get("SQDT_BENCH_SKIP_SERVE") != "1":
+        try:
+            import threading
+            import urllib.request
+
+            from squeezedet_tpu.config import Config
+            from squeezedet_tpu.data.kitti import KITTI_CLASS_NAMES
+            from squeezedet_tpu.engine.detector import Detector
+            from squeezedet_tpu.serve import RAW_TENSOR_CONTENT_TYPE, build_server
+
+            scfg = Config(mode="serve", batch_size=BATCH, keep_top_k=64)
+            scfg.finalize_dirs()
+            scfg.input_size = INPUT_SIZE
+            scfg.rgb_mean, scfg.rgb_std = KITTI_RGB_MEAN, KITTI_RGB_STD
+            scfg.class_names = KITTI_CLASS_NAMES
+            scfg.num_classes = 3
+            scfg.anchors = anchors_np
+            scfg.anchors_per_grid = 9
+            scfg.num_anchors = anchors_np.shape[0]
+            det = Detector(params, task, scfg)
+            scfg.serve_uint8 = det.serve_uint8
+            httpd = build_server(det, scfg, port=0, max_wait_ms=15.0)
+            port = httpd.server_address[1]
+            threading.Thread(target=httpd.serve_forever, daemon=True).start()
+
+            payload = probe[0].tobytes()
+            url = f"http://127.0.0.1:{port}/detect"
+
+            def post_once():
+                req = urllib.request.Request(
+                    url, data=payload, method="POST",
+                    headers={"Content-Type": RAW_TENSOR_CONTENT_TYPE},
+                )
+                t0 = time.perf_counter()
+                with urllib.request.urlopen(req, timeout=300) as r:
+                    r.read()
+                return 1e3 * (time.perf_counter() - t0)
+
+            post_once()  # compile/warm the serving batch shape
+            n_req, n_cli = 8 * BATCH, 16
+            slat_ms: list = []
+            lock = threading.Lock()
+            pending = iter(range(n_req))
+
+            def worker():
+                while True:
+                    with lock:
+                        if next(pending, None) is None:
+                            return
+                    ms = post_once()
+                    with lock:
+                        slat_ms.append(ms)
+
+            threads = [threading.Thread(target=worker) for _ in range(n_cli)]
+            t0 = time.perf_counter()
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+            wall = time.perf_counter() - t0
+            httpd.shutdown()
+            httpd.batcher.close()
+            slat_ms.sort()
+            serve_rps = len(slat_ms) / wall
+            serve_p50 = slat_ms[len(slat_ms) // 2]
+            serve_p99 = slat_ms[int(0.99 * (len(slat_ms) - 1))]
+        except Exception as e:  # pragma: no cover - keep the bench JSON alive
+            print(f"[bench] serve measurement unavailable: {e}", file=sys.stderr)
+
     print(
         json.dumps(
             {
@@ -377,6 +478,16 @@ def main() -> None:
                     round(fps_int8, 1) if fps_int8 is not None else None
                 ),
                 "batch1_latency_p50_ms": round(lat_ms, 2),
+                "h2d_mb_s": round(h2d_mb_s, 1),
+                "serve_rps": (
+                    round(serve_rps, 1) if serve_rps is not None else None
+                ),
+                "serve_p50_ms": (
+                    round(serve_p50, 1) if serve_p50 is not None else None
+                ),
+                "serve_p99_ms": (
+                    round(serve_p99, 1) if serve_p99 is not None else None
+                ),
                 "train_s_per_step_b20": round(train_s_per_step, 4),
                 "train_s_per_step_single_dispatch": round(train_s_per_step_single, 4),
                 "train_s_per_epoch_3740imgs": round(epoch_s, 1),

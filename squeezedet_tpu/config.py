@@ -74,6 +74,12 @@ class Config:
     #   reference parity). Remedy for crowded/occluded-object recall —
     #   see EVIDENCE.md round 3 (occ-2 plateau is assignment starvation).
     resume: str = ""  # orbax checkpoint dir to resume full train state from
+    anchor_seeds_file: str = ""  # override the dataset's built-in k-means
+    #   anchor seeds with a (K, 2) whitespace table of (w, h) pixels —
+    #   written by tools/compute_dataset_seed_anchors.py. The head width
+    #   follows K automatically. Refit when the deployment's box-shape
+    #   statistics differ from the dataset defaults (the KITTI seeds are
+    #   real-KITTI k-means, reference src/datasets/kitti.py:27-29).
 
     # inference
     nms_thresh: float = 0.4

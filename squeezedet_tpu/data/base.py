@@ -49,6 +49,23 @@ class BaseDataset:
         self.phase = phase
         self.cfg = cfg
 
+    @staticmethod
+    def load_anchor_seeds(cfg, default: np.ndarray) -> np.ndarray:
+        """Dataset anchor seeds, overridable by --anchor_seeds_file: a
+        (K, 2) whitespace table of (w, h) pixels from
+        tools/compute_dataset_seed_anchors.py. K may differ from the
+        default's 9 — the head width follows anchors_per_grid."""
+        path = getattr(cfg, "anchor_seeds_file", "")
+        if not path:
+            return default
+        seeds = np.loadtxt(path, dtype=np.float32).reshape(-1, 2)
+        if not (len(seeds) >= 1 and np.all(seeds > 0)):
+            raise ValueError(
+                f"--anchor_seeds_file {path}: need a (K, 2) table of "
+                f"positive (w, h) pixels, got shape {seeds.shape}"
+            )
+        return seeds
+
     # -- template methods -------------------------------------------------
     def get_sample_ids(self):
         raise NotImplementedError

@@ -89,7 +89,7 @@ class COCO(BaseDataset):
             self._anns_by_image.setdefault(ann["image_id"], []).append(ann)
 
         self.grid_size = tuple(x // 16 for x in self.input_size)
-        self.anchors_seed = COCO_ANCHOR_SEEDS
+        self.anchors_seed = self.load_anchor_seeds(cfg, COCO_ANCHOR_SEEDS)
         self.anchors = generate_anchors(
             self.grid_size, self.input_size, self.anchors_seed
         )

@@ -47,7 +47,7 @@ class KITTI(BaseDataset):
         self.sample_ids, self.sample_set_path = self.get_sample_ids()
 
         self.grid_size = tuple(x // 16 for x in self.input_size)
-        self.anchors_seed = KITTI_ANCHOR_SEEDS
+        self.anchors_seed = self.load_anchor_seeds(cfg, KITTI_ANCHOR_SEEDS)
         self.anchors = generate_anchors(self.grid_size, self.input_size, self.anchors_seed)
         self.anchors_per_grid = self.anchors_seed.shape[0]
         self.num_anchors = self.anchors.shape[0]

@@ -71,6 +71,40 @@ def preprocess_image(image: np.ndarray, cfg, raw: bool, image_id: str = "request
     return np.ascontiguousarray(image, dtype=dtype), image_meta
 
 
+RAW_TENSOR_CONTENT_TYPE = "application/x-sqdt-raw-uint8"
+
+
+def preprocess_raw_tensor(data: bytes, cfg, raw: bool):
+    """Decode-free ingest: the client ships a pre-resized uint8 HWC frame
+    at exactly the network input size (Content-Type
+    ``application/x-sqdt-raw-uint8``). Skips the per-request PNG decode +
+    resize that bounds the single-core host (measured: the decode path
+    caps the daemon at a fraction of the device ceiling); detections come
+    back in input-frame coordinates. A sidecar (camera ISP, video
+    decoder) owns the resize in this deployment pattern."""
+    h, w = cfg.input_size
+    expected = h * w * 3
+    if len(data) != expected:
+        raise ValueError(
+            f"raw tensor payload must be exactly {expected} bytes "
+            f"(uint8 {h}x{w}x3, the compiled input size), got {len(data)}"
+        )
+    image = np.frombuffer(data, np.uint8).reshape(h, w, 3)
+    image_meta: dict[str, Any] = {
+        "image_id": "request",
+        "orig_size": np.array([h, w, 3], dtype=np.int32),
+        "scales": np.array([1.0, 1.0], dtype=np.float32),
+    }
+    if raw:
+        return np.ascontiguousarray(image), image_meta
+    from squeezedet_tpu.core.image import whiten
+
+    image, image_meta = whiten(
+        image.astype(np.float32), image_meta, cfg.rgb_mean, cfg.rgb_std
+    )
+    return np.ascontiguousarray(image, np.float32), image_meta
+
+
 class DynamicBatcher:
     """Single-owner device loop: collect -> pad -> one fixed-shape dispatch.
 
@@ -286,8 +320,12 @@ def make_handler(batcher: DynamicBatcher, cfg, started: float):
             try:
                 length = int(self.headers.get("Content-Length", 0))
                 data = self.rfile.read(length)
-                image = decode_image_bytes(data)
-                image, meta = preprocess_image(image, cfg, raw=raw)
+                ctype = self.headers.get("Content-Type", "")
+                if ctype == RAW_TENSOR_CONTENT_TYPE:
+                    image, meta = preprocess_raw_tensor(data, cfg, raw=raw)
+                else:
+                    image = decode_image_bytes(data)
+                    image, meta = preprocess_image(image, cfg, raw=raw)
             except Exception as exc:
                 self._json(400, {"error": f"{type(exc).__name__}: {exc}"})
                 return

@@ -107,3 +107,24 @@ def test_pr_curve_plotting(tmp_path):
     assert len(written) == 1
     assert written[0].endswith("car_detection.png")
     assert os.path.getsize(written[0]) > 0
+
+
+def test_anchor_seeds_file_override(tmp_path):
+    """--anchor_seeds_file swaps the built-in k-means seeds for a refit
+    (K, 2) table; anchor count and per-grid width follow K."""
+    _make_kitti_tree(str(tmp_path / "data"))
+    seeds = np.array([[40, 30], [120, 60], [300, 130], [420, 145]], np.int64)
+    np.savetxt(tmp_path / "seeds.txt", seeds, fmt="%d")
+    ds = KITTI("val", _cfg(tmp_path, anchor_seeds_file=str(tmp_path / "seeds.txt")))
+    assert ds.anchors_per_grid == 4
+    assert ds.num_anchors == 24 * 78 * 4
+    np.testing.assert_array_equal(ds.anchors_seed, seeds.astype(np.float32))
+    # the widest refit shape must appear verbatim in the grid
+    assert (ds.anchors[:, 2:] == np.array([420, 145])).all(axis=1).any()
+
+
+def test_anchor_seeds_file_rejects_garbage(tmp_path):
+    _make_kitti_tree(str(tmp_path / "data"))
+    np.savetxt(tmp_path / "bad.txt", np.array([[0, -3], [10, 10]]), fmt="%d")
+    with pytest.raises(ValueError, match="positive"):
+        KITTI("val", _cfg(tmp_path, anchor_seeds_file=str(tmp_path / "bad.txt")))

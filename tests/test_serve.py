@@ -124,6 +124,23 @@ def test_preprocess_paths_and_wire_format(tmp_path):
     flt, meta_f = preprocess_image(img.copy(), cfg, raw=False)
     assert flt.dtype == np.float32 and "rgb_mean" in meta_f
 
+    # raw-tensor ingest: uint8 passthrough / float whitening, strict size
+    from squeezedet_tpu.serve import preprocess_raw_tensor
+
+    h, w = cfg.input_size
+    frame = np.random.default_rng(1).integers(0, 255, (h, w, 3), np.uint8)
+    rt, meta_rt = preprocess_raw_tensor(frame.tobytes(), cfg, raw=True)
+    assert rt.dtype == np.uint8
+    np.testing.assert_array_equal(rt, frame)
+    assert list(meta_rt["orig_size"][:2]) == [h, w]
+    ft, _ = preprocess_raw_tensor(frame.tobytes(), cfg, raw=False)
+    np.testing.assert_allclose(
+        ft, (frame.astype(np.float32) - cfg.rgb_mean) / cfg.rgb_std,
+        rtol=1e-6,
+    )
+    with pytest.raises(ValueError, match="bytes"):
+        preprocess_raw_tensor(frame.tobytes()[:-1], cfg, raw=True)
+
     payload = result_to_json(
         {
             "image_meta": {"image_id": "req1"},
@@ -215,6 +232,36 @@ def test_http_round_trip_real_detector(tmp_path):
         except urllib.error.HTTPError as e:
             assert e.code == 400
             assert "error" in json.loads(e.read())
+
+        # raw-tensor ingest: pre-resized uint8 frame, decode-free path;
+        # detections come back in input-frame coordinates
+        h, w = cfg.input_size
+        frame = np.zeros((h, w, 3), dtype=np.uint8)
+        frame[h // 4: 3 * h // 4, w // 4: 3 * w // 4] = (250, 60, 60)
+        raw_req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/detect", data=frame.tobytes(),
+            method="POST",
+            headers={"Content-Type": "application/x-sqdt-raw-uint8"},
+        )
+        with urllib.request.urlopen(raw_req, timeout=120) as resp:
+            assert resp.status == 200
+            raw_payload = json.loads(resp.read())
+        for d in raw_payload["detections"]:
+            x1, y1, x2, y2 = d["box"]
+            assert 0 <= x1 <= x2 <= w and 0 <= y1 <= y2 <= h
+
+        # wrong-size raw tensor -> structured 400
+        bad_raw = urllib.request.Request(
+            f"http://127.0.0.1:{port}/detect", data=frame.tobytes()[:-7],
+            method="POST",
+            headers={"Content-Type": "application/x-sqdt-raw-uint8"},
+        )
+        try:
+            urllib.request.urlopen(bad_raw, timeout=30)
+            assert False, "expected HTTP 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+            assert "bytes" in json.loads(e.read())["error"]
     finally:
         httpd.shutdown()
         httpd.batcher.close()

@@ -50,12 +50,26 @@ def main() -> None:
     ap.add_argument("--requests", type=int, default=200)
     ap.add_argument("--image", default=None, help="PNG/JPEG to post")
     ap.add_argument("--warmup", type=int, default=8)
+    ap.add_argument("--raw", action="store_true",
+                    help="post a pre-resized raw uint8 tensor "
+                    "(decode-free serve.py fast path) instead of a PNG")
     args = ap.parse_args()
 
-    payload = (
-        open(args.image, "rb").read() if args.image else _default_png()
-    )
     health = _get(args.url + "/healthz")
+    if args.raw:
+        import numpy as np
+
+        h, w = health["input_size"]
+        rng = np.random.default_rng(0)
+        frame = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+        frame[150:260, 400:620] = (220, 60, 60)  # a "car"
+        payload = frame.tobytes()
+        content_type = "application/x-sqdt-raw-uint8"
+    else:
+        payload = (
+            open(args.image, "rb").read() if args.image else _default_png()
+        )
+        content_type = "application/octet-stream"
 
     lat_ms: list[float] = []
     errors: list[str] = []
@@ -65,7 +79,7 @@ def main() -> None:
     def post_once() -> float:
         req = urllib.request.Request(
             args.url + "/detect", data=payload, method="POST",
-            headers={"Content-Type": "application/octet-stream"},
+            headers={"Content-Type": content_type},
         )
         t0 = time.time()
         with urllib.request.urlopen(req, timeout=120) as r:
@@ -102,13 +116,19 @@ def main() -> None:
 
     lat = sorted(lat_ms)
     pct = lambda p: round(lat[int(p * (len(lat) - 1))], 1) if lat else None
+    err_types: dict[str, int] = {}
+    for e in errors:
+        k = e.split(":", 1)[0]
+        err_types[k] = err_types.get(k, 0) + 1
     print(json.dumps({
         "metric": "serve_rps",
         "value": round(len(lat) / wall, 1),
         "unit": "req/s",
         "clients": args.clients,
+        "ingest": "raw_uint8" if args.raw else "png",
         "requests_ok": len(lat),
         "errors": len(errors),
+        "error_types": err_types,
         "latency_ms_p50": pct(0.50),
         "latency_ms_p95": pct(0.95),
         "latency_ms_p99": pct(0.99),
