@@ -68,6 +68,10 @@ class Config:
     positive_score_loss_weight: float = 3.75
     negative_score_loss_weight: float = 100.0
     bbox_loss_weight: float = 6.0
+    bbox_loss: str = "l2"  # l2 (reference parity: delta-space L2) | ciou
+    #   (Complete-IoU on decoded boxes, Zheng et al. 2020 — targets
+    #   localization quality directly; built for the occ-2 cohort stuck
+    #   at IoU [0.5, 0.7) under the devkit's 0.7 car gate, EVIDENCE r4)
     match_iou: float = 0.0  # >0 = SSD-style multi-positive anchor matching:
     #   anchors with IoU >= thresh become extra positives for their best GT
     #   on top of the reference's one-anchor-per-GT assignment (0 = exact

@@ -12,12 +12,22 @@ Terms (reference src/model/squeezedet.py:133-174, default weights
 Unlike the reference, the num_objects divisions are epsilon-guarded so an
 image with zero GT boxes contributes zero positive-term loss instead of NaN
 (reference hazard noted at src/model/squeezedet.py:143-149).
+
+``bbox_loss_kind="ciou"`` (--bbox_loss ciou) swaps the delta-L2 term for
+Complete-IoU (Zheng et al., AAAI 2020) on the DECODED boxes: 1 - IoU +
+center-distance/enclosing-diagonal + aspect-consistency. No reference
+counterpart; it targets localization quality directly in box space —
+built for the occ-2 car cohort whose detections land at IoU [0.5, 0.7)
+under the devkit's 0.7 gate (EVIDENCE round 4). Pure elementwise math,
+fuses into the same XLA program as the L2 term.
 """
 
 from __future__ import annotations
 
+import math
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from squeezedet_tpu.models.head import Resolved
@@ -33,17 +43,52 @@ class LossWeights(NamedTuple):
     bbox_weight: float = 6.0
 
 
+def complete_iou(gt_boxes: jnp.ndarray, boxes: jnp.ndarray,
+                 iou: jnp.ndarray) -> jnp.ndarray:
+    """Elementwise CIoU between equal-shaped (..., 4) xyxy tensors.
+
+    ``iou`` is the precomputed elementwise IoU (same convention as
+    compute_overlaps; gradients flow through it). The aspect term's
+    alpha is stop-gradiented per the paper. Returns shape (..., 1).
+    """
+    gx = (gt_boxes[..., 0:1] + gt_boxes[..., 2:3]) * 0.5
+    gy = (gt_boxes[..., 1:2] + gt_boxes[..., 3:4]) * 0.5
+    px = (boxes[..., 0:1] + boxes[..., 2:3]) * 0.5
+    py = (boxes[..., 1:2] + boxes[..., 3:4]) * 0.5
+    rho2 = (gx - px) ** 2 + (gy - py) ** 2
+    cw = jnp.maximum(gt_boxes[..., 2:3], boxes[..., 2:3]) - jnp.minimum(
+        gt_boxes[..., 0:1], boxes[..., 0:1]
+    )
+    ch = jnp.maximum(gt_boxes[..., 3:4], boxes[..., 3:4]) - jnp.minimum(
+        gt_boxes[..., 1:2], boxes[..., 1:2]
+    )
+    c2 = cw**2 + ch**2 + EPSILON
+    gw = gt_boxes[..., 2:3] - gt_boxes[..., 0:1]
+    gh = gt_boxes[..., 3:4] - gt_boxes[..., 1:2]
+    pw = boxes[..., 2:3] - boxes[..., 0:1]
+    ph = boxes[..., 3:4] - boxes[..., 1:2]
+    # arctan(w/h) via arctan2: stable at h -> 0, exact for w, h >= 0
+    v = (4.0 / math.pi**2) * (
+        jnp.arctan2(gw, gh) - jnp.arctan2(pw, ph)
+    ) ** 2
+    alpha = jax.lax.stop_gradient(v / (1.0 - iou + v + EPSILON))
+    return iou - rho2 / c2 - alpha * v
+
+
 def detection_loss(
     resolved: Resolved,
     gt: jnp.ndarray,
     num_anchors: int,
     weights: LossWeights = LossWeights(),
+    bbox_loss_kind: str = "l2",
 ) -> tuple[jnp.ndarray, dict[str, jnp.ndarray]]:
     """Compute the per-sample loss vector and its component stats.
 
     :param resolved: resolver output with log_class_probs populated.
     :param gt: (B, A, C+9) dense GT tensor
         [mask | gt_box xyxy | gt_deltas | one-hot class].
+    :param bbox_loss_kind: "l2" (reference parity: delta-space L2) or
+        "ciou" (Complete-IoU on decoded boxes, see module docstring).
     :return: (loss (B,), stats dict of (B,) arrays)
     """
     anchor_masks = gt[..., :1]
@@ -55,7 +100,8 @@ def detection_loss(
     pos_norm = num_objects + EPSILON
     neg_norm = num_anchors - num_objects + EPSILON
 
-    overlaps = compute_overlaps(gt_boxes, resolved.boxes) * anchor_masks
+    raw_overlaps = compute_overlaps(gt_boxes, resolved.boxes)
+    overlaps = raw_overlaps * anchor_masks
 
     class_loss = (
         jnp.sum(
@@ -88,11 +134,16 @@ def detection_loss(
         / neg_norm
     )
 
-    bbox_loss = (
-        jnp.sum(
-            weights.bbox_weight * anchor_masks * (resolved.deltas - gt_deltas) ** 2,
-            axis=[1, 2],
+    if bbox_loss_kind == "ciou":
+        ciou = complete_iou(gt_boxes, resolved.boxes, raw_overlaps)
+        bbox_elem = 1.0 - ciou
+    else:
+        assert bbox_loss_kind == "l2", bbox_loss_kind
+        bbox_elem = jnp.sum(
+            (resolved.deltas - gt_deltas) ** 2, axis=-1, keepdims=True
         )
+    bbox_loss = (
+        jnp.sum(weights.bbox_weight * anchor_masks * bbox_elem, axis=[1, 2])
         / pos_norm
     )
 

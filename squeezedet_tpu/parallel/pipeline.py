@@ -343,7 +343,8 @@ def make_pipeline(
             with_log_probs=True,
         )
         loss, _ = detection_loss(
-            resolved, gt, task.num_anchors, task.loss_weights
+            resolved, gt, task.num_anchors, task.loss_weights,
+            bbox_loss_kind=task.bbox_loss_kind,
         )
         return loss.mean()
 

@@ -59,6 +59,7 @@ class TaskSpec:
     ema_decay: float = 0.0  # 0 disables; 0.999-0.9999 typical
     nms_method: str = "hard"  # hard | soft_linear | soft_gauss
     soft_nms_sigma: float = 0.5  # gaussian decay width for soft_gauss
+    bbox_loss_kind: str = "l2"  # l2 (reference parity) | ciou
 
 
 def make_optimizer(task: TaskSpec) -> optax.GradientTransformation:
@@ -160,7 +161,10 @@ def _loss_for_batch(
     resolved = resolve(
         pred, anchors, task.input_size, task.model.num_classes, with_log_probs=True
     )
-    loss, stats = detection_loss(resolved, gt, task.num_anchors, task.loss_weights)
+    loss, stats = detection_loss(
+        resolved, gt, task.num_anchors, task.loss_weights,
+        bbox_loss_kind=task.bbox_loss_kind,
+    )
     if sample_weights is None:
         return loss.mean(), {k: v.mean() for k, v in stats.items()}
     w = sample_weights.astype(loss.dtype)

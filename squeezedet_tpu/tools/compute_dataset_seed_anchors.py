@@ -59,15 +59,27 @@ def compute_seed_anchors(
 
 
 def main() -> None:
+    import os
     import sys
 
     from squeezedet_tpu.config import parse
     from squeezedet_tpu.utils.misc import load_dataset
 
-    cfg = parse(["eval"] + sys.argv[1:])
+    argv = sys.argv[1:]
+    out_path = ""
+    if "--out" in argv:  # not a Config flag: strip before parse
+        i = argv.index("--out")
+        out_path = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    cfg = parse(["eval"] + argv)
     dataset = load_dataset(cfg.dataset)("trainval", cfg)
+    seeds = compute_seed_anchors(dataset, num_workers=cfg.num_workers)
     print("Dataset's seed anchors:")
-    print(compute_seed_anchors(dataset, num_workers=cfg.num_workers))
+    print(seeds)
+    if out_path:
+        np.savetxt(out_path, seeds, fmt="%d")
+        print(f"saved to {os.path.abspath(out_path)} "
+              "(feed back via --anchor_seeds_file)")
 
 
 if __name__ == "__main__":

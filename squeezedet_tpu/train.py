@@ -62,6 +62,7 @@ def build_task(cfg) -> TaskSpec:
         score_thresh=cfg.score_thresh,
         nms_method=getattr(cfg, "nms_method", "hard"),
         soft_nms_sigma=getattr(cfg, "soft_nms_sigma", 0.5),
+        bbox_loss_kind=getattr(cfg, "bbox_loss", "l2"),
     )
 
 

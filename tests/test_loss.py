@@ -76,3 +76,126 @@ def test_loss_is_differentiable():
     g = jax.grad(f)(jnp.asarray(pred[:1]))
     assert np.all(np.isfinite(np.asarray(g)))
     assert np.abs(np.asarray(g)).max() > 0
+
+
+# --- CIoU bbox loss (--bbox_loss ciou; models/loss.complete_iou) ---------
+
+def test_complete_iou_properties():
+    """Hand-checkable CIoU values: identical boxes -> 1; disjoint equal
+    boxes -> negative (center penalty); farther -> worse; aspect mismatch
+    penalized at equal IoU."""
+    from squeezedet_tpu.models.loss import complete_iou
+    from squeezedet_tpu.ops.box_ops import compute_overlaps
+
+    def ciou(a, b):
+        a = jnp.asarray(a, jnp.float32)[None]
+        b = jnp.asarray(b, jnp.float32)[None]
+        return float(complete_iou(a, b, compute_overlaps(a, b))[0, 0])
+
+    box = [10.0, 10.0, 30.0, 40.0]
+    assert ciou(box, box) == 1.0
+    near = ciou(box, [14.0, 10.0, 34.0, 40.0])
+    far = ciou(box, [40.0, 10.0, 60.0, 40.0])
+    farther = ciou(box, [80.0, 10.0, 100.0, 40.0])
+    assert 1.0 > near > far > farther
+    assert far < 0.0 or farther < far  # disjoint boxes keep a gradient signal
+    # same IoU=0, same center distance, different aspect -> lower CIoU
+    sq = ciou([0, 0, 10, 10], [20, 0, 30, 10])
+    wide = ciou([0, 0, 10, 10], [20, 2.5, 30, 7.5])
+    assert wide < sq
+
+
+def test_ciou_bbox_loss_zero_at_perfect_and_differentiable():
+    """With predictions decoding exactly to the GT boxes the CIoU bbox
+    term vanishes; gradients are finite and pull decoded boxes toward GT."""
+    pred, gt = _random_batch()
+    resolved = resolve(
+        jnp.asarray(pred), jnp.asarray(ANCHORS), INPUT_SIZE, NUM_CLASSES,
+        with_log_probs=True,
+    )
+    _, stats_l2 = detection_loss(resolved, jnp.asarray(gt), NUM_ANCHORS)
+    _, stats_ci = detection_loss(
+        resolved, jnp.asarray(gt), NUM_ANCHORS, bbox_loss_kind="ciou"
+    )
+    # non-bbox terms identical, bbox term differs
+    np.testing.assert_allclose(
+        np.asarray(stats_l2["class_loss"]), np.asarray(stats_ci["class_loss"])
+    )
+    assert not np.allclose(
+        np.asarray(stats_l2["bbox_loss"]), np.asarray(stats_ci["bbox_loss"])
+    )
+
+    # perfect prediction: head deltas = gt deltas -> decoded boxes == gt
+    # boxes -> 1 - CIoU == 0 on every positive anchor. GT must be clipped
+    # to input bounds like the real pipeline's preprocess (the resolver
+    # clamps decoded boxes to [0, input-1], so an out-of-bounds GT box is
+    # unreachable in box space even with exactly-matching deltas).
+    h, w = INPUT_SIZE
+    rng = np.random.default_rng(0)
+    gts = []
+    for b in range(2):
+        idx = rng.choice(NUM_ANCHORS, 3, replace=False)
+        boxes = xywh_to_xyxy(
+            ANCHORS[idx] * rng.uniform(0.9, 1.1, size=(3, 4))
+        )
+        boxes = np.clip(boxes, [0, 0, 0, 0], [w - 1, h - 1, w - 1, h - 1])
+        class_ids = rng.integers(0, NUM_CLASSES, 3)
+        gts.append(encode_annotations(class_ids, boxes, ANCHORS, NUM_CLASSES))
+    gt_j = jnp.asarray(np.stack(gts))
+    perfect = jnp.asarray(pred).at[..., -4:].set(gt_j[..., 5:9])
+    resolved_p = resolve(
+        perfect, jnp.asarray(ANCHORS), INPUT_SIZE, NUM_CLASSES,
+        with_log_probs=True,
+    )
+    _, stats_p = detection_loss(
+        resolved_p, gt_j, NUM_ANCHORS, bbox_loss_kind="ciou"
+    )
+    np.testing.assert_allclose(
+        np.asarray(stats_p["bbox_loss"]), 0.0, atol=1e-4
+    )
+
+    def bbox_term(p):
+        r = resolve(p, jnp.asarray(ANCHORS), INPUT_SIZE, NUM_CLASSES,
+                    with_log_probs=True)
+        _, s = detection_loss(r, gt_j, NUM_ANCHORS, bbox_loss_kind="ciou")
+        return s["bbox_loss"].sum()
+
+    g = jax.grad(bbox_term)(jnp.asarray(pred))
+    assert np.all(np.isfinite(np.asarray(g)))
+    assert float(jnp.abs(g).sum()) > 0.0
+    # one gradient step on the deltas must reduce the CIoU bbox term
+    stepped = jnp.asarray(pred) - 0.05 * g
+    assert float(bbox_term(stepped)) < float(bbox_term(jnp.asarray(pred)))
+
+
+def test_ciou_train_step_descends():
+    """Full jitted train step with bbox_loss_kind='ciou' descends."""
+    from squeezedet_tpu.models.squeezedet import ModelSpec, init_params
+    from squeezedet_tpu.parallel.train import (
+        TaskSpec, init_train_state, make_train_step,
+    )
+
+    task = TaskSpec(
+        model=ModelSpec(arch="squeezedet", num_classes=3, anchors_per_grid=3,
+                        dropout_prob=0.0),
+        input_size=INPUT_SIZE,
+        num_anchors=NUM_ANCHORS,
+        bbox_loss_kind="ciou",
+    )
+    params = init_params(jax.random.PRNGKey(0), task.model)
+    state = init_train_state(params, task)
+    step = make_train_step(task)
+    _, gt = _random_batch(batch=2, seed=3)
+    images = np.random.default_rng(4).normal(
+        size=(2, *INPUT_SIZE, 3)
+    ).astype(np.float32)
+    key = jax.random.PRNGKey(1)
+    losses = []
+    for _ in range(6):
+        state, stats = step(
+            state, jnp.asarray(images), jnp.asarray(gt),
+            jnp.asarray(ANCHORS), 0.01, key,
+        )
+        losses.append(float(stats["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]

@@ -346,3 +346,19 @@ def test_bench_ensure_backend_exits_on_wedge():
     )
     assert proc.returncode == 14, proc.stderr
     assert "stalled" in proc.stderr
+
+
+def test_seed_anchors_out_roundtrip(tmp_path):
+    """--out writes a table that --anchor_seeds_file loads verbatim."""
+    from squeezedet_tpu.config import Config
+    from squeezedet_tpu.data.base import BaseDataset
+
+    ds = FakeDataset(40)
+    seeds = compute_seed_anchors(ds, anchors_per_grid=4, num_workers=2)
+    path = tmp_path / "seeds.txt"
+    np.savetxt(path, seeds, fmt="%d")  # the tool's --out format
+    loaded = BaseDataset.load_anchor_seeds(
+        Config(mode="eval", anchor_seeds_file=str(path)),
+        default=np.zeros((9, 2), np.float32),
+    )
+    np.testing.assert_array_equal(loaded, seeds.astype(np.float32))
