@@ -99,21 +99,25 @@ def main() -> None:
     with open(os.path.join(kitti_dir, "image_sets", args.split + ".txt")) as fp:
         ids = [line.strip() for line in fp if line.strip()]
 
-    # per-GT record: (class, difficulty flags, height, occ, trunc,
-    #                 best matched score or -1)
+    # per-GT record: (class, trunc, occ, height, best matched score or -1,
+    #                 best IoU at any score, w/h aspect)
     records = []
     for image_id in ids:
         gt = read_gt(os.path.join(kitti_dir, "training/label_2", image_id + ".txt"))
         dets = read_dets(os.path.join(args.results_data_dir, image_id + ".txt"))
         for cls, trunc, occ, box in gt:
             d = dets.get(cls)
-            score = -1.0
+            score, best_iou = -1.0, 0.0
             if d is not None and d.size:
                 ious = iou_1many(box, d[:, :4])
+                best_iou = float(ious.max())
                 ok = ious >= MIN_IOU[cls]
                 if ok.any():
                     score = float(d[ok, 4].max())
-            records.append((cls, trunc, occ, box[3] - box[1], score))
+            records.append(
+                (cls, trunc, occ, box[3] - box[1], score, best_iou,
+                 (box[2] - box[0]) / max(box[3] - box[1], 1e-9))
+            )
 
     def report(rows, label):
         n = len(rows)
@@ -152,6 +156,25 @@ def main() -> None:
         print("  -- by truncation (hard-eligible only) --")
         for lo, hi in ((0.0, 0.15), (0.15, 0.30), (0.30, 0.50)):
             report([r for r in rows_h if lo <= r[1] <= hi], f"trunc[{lo},{hi}]")
+        # best-IoU histogram of the MISSES: separates "never detected"
+        # (best-IoU < 0.3) from "detected but mislocalized" (best-IoU in
+        # [0.5, gate)) — the round-4 Car_hard diagnosis showed the latter
+        # dominates (amodal under-regression on occluded boxes)
+        missed = [r for r in rows_h if r[4] < 0]
+        if missed:
+            print(f"  -- misses by best-IoU at any score (n={len(missed)}) --")
+            edges = [
+                e for e in (0.0, 0.1, 0.3, 0.5, 0.6) if e < MIN_IOU[cls]
+            ] + [MIN_IOU[cls]]
+            for lo, hi in zip(edges[:-1], edges[1:]):
+                n = sum(1 for r in missed if lo <= r[5] < hi)
+                print(f"  iou[{lo:g},{hi:g})     n={n}")
+            asp = sorted(r[6] for r in missed)
+            print(
+                f"  missed aspect w/h: median {asp[len(asp) // 2]:.2f} "
+                f"(population median "
+                f"{sorted(r[6] for r in rows_h)[len(rows_h) // 2]:.2f})"
+            )
 
 
 if __name__ == "__main__":
