@@ -362,3 +362,39 @@ def test_seed_anchors_out_roundtrip(tmp_path):
         default=np.zeros((9, 2), np.float32),
     )
     np.testing.assert_array_equal(loaded, seeds.astype(np.float32))
+
+
+def test_train_supervisor_outage_cap_surfaces_deterministic_hang(tmp_path):
+    """--max_outage_attempts bounds CONSECUTIVE rc=14 retries: a
+    deterministic in-code hang that trips a watchdog on every fresh
+    launch must eventually surface as a failure instead of looping
+    forever (advisor finding, round 3)."""
+    import subprocess
+    import sys
+
+    marker = tmp_path / "attempts.txt"
+    fake = tmp_path / "fake_train.py"  # always the init wedge
+    fake.write_text(
+        "import os, sys\n"
+        f"m = {str(marker)!r}\n"
+        "n = int(open(m).read()) if os.path.exists(m) else 0\n"
+        "open(m, 'w').write(str(n + 1))\n"
+        "sys.exit(14)\n"
+    )
+    out = subprocess.run(
+        [
+            sys.executable, "tools/train_supervisor.py",
+            "--max_restarts", "0", "--retry_delay_s", "0.02",
+            "--outage_backoff_max_s", "0.05", "--max_outage_attempts", "4",
+            "--train_cmd", f"{sys.executable} {fake}",
+            "--",
+            "--exp_id", "run6", "--save_dir", str(tmp_path / "exp" / "run6"),
+        ],
+        capture_output=True, text=True, timeout=120,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert out.returncode == 14, out.stdout + out.stderr
+    # cap+1 launches: 4 counted outage attempts, the 5th trips the cap
+    assert open(marker).read() == "5"
+    assert "max_outage_attempts" in out.stdout
+    assert "deterministic in-code hang" in out.stdout
