@@ -199,3 +199,55 @@ def test_ciou_train_step_descends():
         losses.append(float(stats["loss"]))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
+
+
+def test_complete_iou_matches_torch_oracle():
+    """CIoU parity vs an independently-written torch implementation
+    (torchvision's complete_box_iou formula, transcribed) on random box
+    pairs — same convention as every other numerical component here."""
+    import math
+
+    import torch
+
+    from squeezedet_tpu.models.loss import complete_iou
+    from squeezedet_tpu.ops.box_ops import compute_overlaps
+
+    def ciou_torch(a, b):
+        a = torch.as_tensor(a, dtype=torch.float64)
+        b = torch.as_tensor(b, dtype=torch.float64)
+        x1 = torch.maximum(a[:, 0], b[:, 0])
+        y1 = torch.maximum(a[:, 1], b[:, 1])
+        x2 = torch.minimum(a[:, 2], b[:, 2])
+        y2 = torch.minimum(a[:, 3], b[:, 3])
+        inter = (x2 - x1).clamp(min=0) * (y2 - y1).clamp(min=0)
+        area_a = (a[:, 2] - a[:, 0]) * (a[:, 3] - a[:, 1])
+        area_b = (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
+        iou = inter / (area_a + area_b - inter)
+        cw = torch.maximum(a[:, 2], b[:, 2]) - torch.minimum(a[:, 0], b[:, 0])
+        ch = torch.maximum(a[:, 3], b[:, 3]) - torch.minimum(a[:, 1], b[:, 1])
+        c2 = cw**2 + ch**2
+        rho2 = (
+            ((a[:, 0] + a[:, 2]) - (b[:, 0] + b[:, 2])) ** 2
+            + ((a[:, 1] + a[:, 3]) - (b[:, 1] + b[:, 3])) ** 2
+        ) / 4.0
+        wa, ha = a[:, 2] - a[:, 0], a[:, 3] - a[:, 1]
+        wb, hb = b[:, 2] - b[:, 0], b[:, 3] - b[:, 1]
+        v = (4 / math.pi**2) * (
+            torch.atan(wa / ha) - torch.atan(wb / hb)
+        ) ** 2
+        alpha = v / (1 - iou + v)
+        return iou - rho2 / c2 - alpha * v
+
+    rng = np.random.default_rng(7)
+    xy = rng.uniform(0, 300, size=(64, 2, 2))
+    wh = rng.uniform(5, 200, size=(64, 2, 2))
+    a = np.concatenate([xy[:, 0], xy[:, 0] + wh[:, 0]], axis=1)
+    b = np.concatenate([xy[:, 1], xy[:, 1] + wh[:, 1]], axis=1)
+
+    ours = complete_iou(
+        jnp.asarray(a, jnp.float32), jnp.asarray(b, jnp.float32),
+        compute_overlaps(jnp.asarray(a, jnp.float32),
+                         jnp.asarray(b, jnp.float32)),
+    )[:, 0]
+    want = ciou_torch(a, b).numpy()
+    np.testing.assert_allclose(np.asarray(ours), want, rtol=2e-4, atol=2e-4)
