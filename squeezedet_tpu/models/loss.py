@@ -20,6 +20,17 @@ counterpart; it targets localization quality directly in box space —
 built for the occ-2 car cohort whose detections land at IoU [0.5, 0.7)
 under the devkit's 0.7 gate (EVIDENCE round 4). Pure elementwise math,
 fuses into the same XLA program as the L2 term.
+
+CIoU runs on an UNCLAMPED decode (``anchors_xywh`` must be passed): the
+image-clamped ``resolved.boxes`` collapse a fully-out-of-frame prediction
+to a zero-size corner point, where ``arctan2(0, 0)``'s backward is
+0/0 = NaN — and NaN at even a mask=0 anchor poisons the whole gradient
+(NaN * 0 = NaN). This is exactly what killed exp/ciou600 at step 1
+(he-init convdet, batch 20 x 16848 anchors: some box always escapes the
+frame). The unclamped decode keeps w,h > 0 everywhere AND restores the
+gradient the clamp zeroed, so escaped boxes get pulled back in. Deltas
+are clipped to +-CIOU_DELTA_CLIP first so exp() cannot overflow to inf
+at a masked anchor (inf/inf in rho2/c2 is NaN again).
 """
 
 from __future__ import annotations
@@ -31,9 +42,14 @@ import jax
 import jax.numpy as jnp
 
 from squeezedet_tpu.models.head import Resolved
-from squeezedet_tpu.ops.box_ops import compute_overlaps
+from squeezedet_tpu.ops.box_ops import compute_overlaps, deltas_to_boxes
 
 EPSILON = 1e-10
+# Bounds the unclamped CIoU decode: |dx,dy| <= 32 anchor-widths,
+# dw,dh <= 16 keeps exp() (~9e6) and every squared distance finite in
+# bf16/fp32 while being unreachable by any sane prediction.
+# (plain tuple: a module-level jnp.array would init the backend on import)
+CIOU_DELTA_CLIP = (32.0, 32.0, 16.0, 16.0)
 
 
 class LossWeights(NamedTuple):
@@ -81,6 +97,7 @@ def detection_loss(
     num_anchors: int,
     weights: LossWeights = LossWeights(),
     bbox_loss_kind: str = "l2",
+    anchors_xywh: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, dict[str, jnp.ndarray]]:
     """Compute the per-sample loss vector and its component stats.
 
@@ -89,6 +106,9 @@ def detection_loss(
         [mask | gt_box xyxy | gt_deltas | one-hot class].
     :param bbox_loss_kind: "l2" (reference parity: delta-space L2) or
         "ciou" (Complete-IoU on decoded boxes, see module docstring).
+    :param anchors_xywh: (A, 4), required for "ciou" — the CIoU term
+        re-decodes resolved.deltas WITHOUT the image clamp (see module
+        docstring for why the clamped boxes NaN the gradient).
     :return: (loss (B,), stats dict of (B,) arrays)
     """
     anchor_masks = gt[..., :1]
@@ -135,7 +155,17 @@ def detection_loss(
     )
 
     if bbox_loss_kind == "ciou":
-        ciou = complete_iou(gt_boxes, resolved.boxes, raw_overlaps)
+        if anchors_xywh is None:
+            raise ValueError("bbox_loss_kind='ciou' requires anchors_xywh")
+        clip = jnp.asarray(CIOU_DELTA_CLIP, resolved.deltas.dtype)
+        open_boxes = deltas_to_boxes(
+            jnp.clip(resolved.deltas, -clip, clip),
+            anchors_xywh.astype(resolved.deltas.dtype),
+            (0, 0),  # unused when clip=False
+            clip=False,
+        )
+        open_iou = compute_overlaps(gt_boxes, open_boxes)
+        ciou = complete_iou(gt_boxes, open_boxes, open_iou)
         bbox_elem = 1.0 - ciou
     else:
         assert bbox_loss_kind == "l2", bbox_loss_kind

@@ -36,6 +36,7 @@ def deltas_to_boxes(
     deltas: jnp.ndarray,
     anchors_xywh: jnp.ndarray,
     input_size: tuple[int, int],
+    clip: bool = True,
 ) -> jnp.ndarray:
     """Decode (dx, dy, dw, dh) deltas against anchors into clamped xyxy boxes.
 
@@ -43,17 +44,33 @@ def deltas_to_boxes(
     corners are clamped to ``[0, input-1]``. Parity: reference
     src/model/modules.py:27-45.
 
+    ``clip=False`` skips the clamp: needed by the CIoU loss, where a box
+    that decodes fully outside the image must keep nonzero width/height
+    (a clamped one collapses to a corner point, which both kills the
+    gradient through the clip and makes arctan2(0, 0)'s backward NaN)
+    and a real center-distance gradient pulling it back in.
+
     :param deltas: (..., A, 4)
     :param anchors_xywh: (A, 4) — broadcast over leading dims.
     :param input_size: (height, width) used for clamping.
     """
     ax, ay, aw, ah = jnp.split(anchors_xywh, 4, axis=-1)
     dx, dy, dw, dh = jnp.split(deltas, 4, axis=-1)
+    # exp is bounded at 50 (e^50 ~ 5e21): a size delta past ~89 overflows
+    # exp to inf, and backward through the image clamp then multiplies a
+    # zero cotangent by exp's inf derivative -> NaN gradients. Clamping
+    # the exponent is invisible for any box that could matter (e^50 anchor
+    # widths is astronomically out of frame) and keeps training NaN-free
+    # even if the head momentarily produces wild deltas.
+    dw = jnp.minimum(dw, 50.0)
+    dh = jnp.minimum(dh, 50.0)
     boxes_xywh = jnp.concatenate(
         [ax + aw * dx, ay + ah * dy, aw * jnp.exp(dw), ah * jnp.exp(dh)],
         axis=-1,
     )
     boxes = xywh_to_xyxy(boxes_xywh)
+    if not clip:
+        return boxes
     h, w = input_size
     lo = jnp.zeros((4,), dtype=boxes.dtype)
     hi = jnp.array([w - 1, h - 1, w - 1, h - 1], dtype=boxes.dtype)

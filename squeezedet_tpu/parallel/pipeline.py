@@ -344,7 +344,7 @@ def make_pipeline(
         )
         loss, _ = detection_loss(
             resolved, gt, task.num_anchors, task.loss_weights,
-            bbox_loss_kind=task.bbox_loss_kind,
+            bbox_loss_kind=task.bbox_loss_kind, anchors_xywh=anchors,
         )
         return loss.mean()
 

@@ -163,7 +163,7 @@ def _loss_for_batch(
     )
     loss, stats = detection_loss(
         resolved, gt, task.num_anchors, task.loss_weights,
-        bbox_loss_kind=task.bbox_loss_kind,
+        bbox_loss_kind=task.bbox_loss_kind, anchors_xywh=anchors,
     )
     if sample_weights is None:
         return loss.mean(), {k: v.mean() for k, v in stats.items()}

@@ -115,7 +115,8 @@ def test_ciou_bbox_loss_zero_at_perfect_and_differentiable():
     )
     _, stats_l2 = detection_loss(resolved, jnp.asarray(gt), NUM_ANCHORS)
     _, stats_ci = detection_loss(
-        resolved, jnp.asarray(gt), NUM_ANCHORS, bbox_loss_kind="ciou"
+        resolved, jnp.asarray(gt), NUM_ANCHORS, bbox_loss_kind="ciou",
+        anchors_xywh=jnp.asarray(ANCHORS),
     )
     # non-bbox terms identical, bbox term differs
     np.testing.assert_allclose(
@@ -148,7 +149,8 @@ def test_ciou_bbox_loss_zero_at_perfect_and_differentiable():
         with_log_probs=True,
     )
     _, stats_p = detection_loss(
-        resolved_p, gt_j, NUM_ANCHORS, bbox_loss_kind="ciou"
+        resolved_p, gt_j, NUM_ANCHORS, bbox_loss_kind="ciou",
+        anchors_xywh=jnp.asarray(ANCHORS),
     )
     np.testing.assert_allclose(
         np.asarray(stats_p["bbox_loss"]), 0.0, atol=1e-4
@@ -157,7 +159,8 @@ def test_ciou_bbox_loss_zero_at_perfect_and_differentiable():
     def bbox_term(p):
         r = resolve(p, jnp.asarray(ANCHORS), INPUT_SIZE, NUM_CLASSES,
                     with_log_probs=True)
-        _, s = detection_loss(r, gt_j, NUM_ANCHORS, bbox_loss_kind="ciou")
+        _, s = detection_loss(r, gt_j, NUM_ANCHORS, bbox_loss_kind="ciou",
+                              anchors_xywh=jnp.asarray(ANCHORS))
         return s["bbox_loss"].sum()
 
     g = jax.grad(bbox_term)(jnp.asarray(pred))
@@ -199,6 +202,57 @@ def test_ciou_train_step_descends():
         losses.append(float(stats["loss"]))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
+
+
+def test_ciou_grad_finite_with_escaped_boxes():
+    """Regression for the exp/ciou600 step-1 NaN (2026-08-19): a predicted
+    box that decodes FULLY outside the image used to be clamped to a
+    zero-size corner point, where arctan2(0, 0)'s backward is 0/0 = NaN —
+    and a NaN at even a mask=0 anchor poisons the whole gradient
+    (NaN * 0 = NaN). The fix decodes CIoU on unclamped boxes. Also checks
+    the extreme-delta path (exp overflow guarded by CIOU_DELTA_CLIP)."""
+    pred, gt = _random_batch(batch=1)
+    pred = pred.copy()
+    # anchor 0: shove the decoded box far off the top-left corner (large
+    # negative dx/dy, tiny w/h) -> pre-fix clamp collapses it to (0,0,0,0)
+    pred[0, 0, -4:] = [-60.0, -60.0, -6.0, -6.0]
+    # anchor 1: absurd deltas that would overflow exp() without the clip
+    pred[0, 1, -4:] = [200.0, -200.0, 120.0, 120.0]
+
+    def f(p):
+        r = resolve(p, jnp.asarray(ANCHORS), INPUT_SIZE, NUM_CLASSES,
+                    with_log_probs=True)
+        loss, _ = detection_loss(r, jnp.asarray(gt[:1]), NUM_ANCHORS,
+                                 bbox_loss_kind="ciou",
+                                 anchors_xywh=jnp.asarray(ANCHORS))
+        return loss.mean()
+
+    val, g = jax.value_and_grad(f)(jnp.asarray(pred))
+    assert np.isfinite(float(val))
+    assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_ciou_grad_finite_with_escaped_boxes_positive_anchor():
+    """Same escape scenario but on a POSITIVE (mask=1) anchor: the CIoU
+    term itself must stay finite and produce a restoring gradient."""
+    pred, gt = _random_batch(batch=1)
+    pred = pred.copy()
+    pos = int(np.flatnonzero(gt[0, :, 0])[0])
+    pred[0, pos, -4:] = [-60.0, -60.0, -6.0, -6.0]
+
+    def f(p):
+        r = resolve(p, jnp.asarray(ANCHORS), INPUT_SIZE, NUM_CLASSES,
+                    with_log_probs=True)
+        _, s = detection_loss(r, jnp.asarray(gt[:1]), NUM_ANCHORS,
+                              bbox_loss_kind="ciou",
+                              anchors_xywh=jnp.asarray(ANCHORS))
+        return s["bbox_loss"].mean()
+
+    val, g = jax.value_and_grad(f)(jnp.asarray(pred))
+    assert np.isfinite(float(val))
+    assert np.all(np.isfinite(np.asarray(g)))
+    # the escaped positive box still receives a pull-back gradient
+    assert float(jnp.abs(g[0, pos, -4:]).sum()) > 0.0
 
 
 def test_complete_iou_matches_torch_oracle():
