@@ -68,7 +68,7 @@ class Config:
     positive_score_loss_weight: float = 3.75
     negative_score_loss_weight: float = 100.0
     bbox_loss_weight: float = 6.0
-    bbox_loss: str = "l2"  # l2 (reference parity: delta-space L2) | ciou
+    bbox_loss: str = "l2"  # l2 (reference parity: delta-space L2) | ciou | diou | giou
     #   (Complete-IoU on decoded boxes, Zheng et al. 2020 — targets
     #   localization quality directly; built for the occ-2 cohort stuck
     #   at IoU [0.5, 0.7) under the devkit's 0.7 car gate, EVIDENCE r4)
@@ -239,6 +239,8 @@ _FLAG_HELP = {
     "arch": "model architecture: squeezedet | squeezedetplus",
     "lr": "learning rate (reference default tuned for batch size 32)",
     "lr_schedule": "step (reference StepLR(60,.5)) | cosine | constant",
+    "bbox_loss": "l2 (reference parity: delta-space L2) | ciou | diou | "
+                 "giou (IoU-family losses on decoded boxes)",
     "warmup_epochs": "linear lr warmup over the first N epochs (0 = off)",
     "min_lr": "cosine schedule floor, reached at the final epoch",
     "ema_decay": "EMA of params; eval/model_best use the averaged weights "

@@ -19,9 +19,14 @@ center-distance/enclosing-diagonal + aspect-consistency. No reference
 counterpart; it targets localization quality directly in box space —
 built for the occ-2 car cohort whose detections land at IoU [0.5, 0.7)
 under the devkit's 0.7 gate (EVIDENCE round 4). Pure elementwise math,
-fuses into the same XLA program as the L2 term.
+fuses into the same XLA program as the L2 term. The ablation family is
+also exposed: ``"diou"`` (Distance-IoU, same paper, drops the aspect
+term) and ``"giou"`` (Generalized IoU, Rezatofighi et al., CVPR 2019:
+enclosing-area penalty instead of center distance). All three share the
+decoded-box path below.
 
-CIoU runs on an UNCLAMPED decode (``anchors_xywh`` must be passed): the
+The IoU-family losses run on an UNCLAMPED decode (``anchors_xywh`` must
+be passed): the
 image-clamped ``resolved.boxes`` collapse a fully-out-of-frame prediction
 to a zero-size corner point, where ``arctan2(0, 0)``'s backward is
 0/0 = NaN — and NaN at even a mask=0 anchor poisons the whole gradient
@@ -91,6 +96,67 @@ def complete_iou(gt_boxes: jnp.ndarray, boxes: jnp.ndarray,
     return iou - rho2 / c2 - alpha * v
 
 
+def distance_iou(gt_boxes: jnp.ndarray, boxes: jnp.ndarray,
+                 iou: jnp.ndarray) -> jnp.ndarray:
+    """Elementwise DIoU (Zheng et al., AAAI 2020): CIoU without the
+    aspect-consistency term. Same shapes/conventions as complete_iou."""
+    gx = (gt_boxes[..., 0:1] + gt_boxes[..., 2:3]) * 0.5
+    gy = (gt_boxes[..., 1:2] + gt_boxes[..., 3:4]) * 0.5
+    px = (boxes[..., 0:1] + boxes[..., 2:3]) * 0.5
+    py = (boxes[..., 1:2] + boxes[..., 3:4]) * 0.5
+    rho2 = (gx - px) ** 2 + (gy - py) ** 2
+    cw = jnp.maximum(gt_boxes[..., 2:3], boxes[..., 2:3]) - jnp.minimum(
+        gt_boxes[..., 0:1], boxes[..., 0:1]
+    )
+    ch = jnp.maximum(gt_boxes[..., 3:4], boxes[..., 3:4]) - jnp.minimum(
+        gt_boxes[..., 1:2], boxes[..., 1:2]
+    )
+    c2 = cw**2 + ch**2 + EPSILON
+    return iou - rho2 / c2
+
+
+def generalized_iou(gt_boxes: jnp.ndarray, boxes: jnp.ndarray,
+                    iou: jnp.ndarray) -> jnp.ndarray:
+    """Elementwise GIoU (Rezatofighi et al., CVPR 2019): IoU minus the
+    enclosing-box area not covered by the union, normalized by the
+    enclosing area. Areas are exclusive (no +1), matching
+    compute_overlaps — the precomputed ``iou`` must come from it so the
+    union recovered below is consistent."""
+    lr = jnp.maximum(
+        jnp.minimum(gt_boxes[..., 2:3], boxes[..., 2:3])
+        - jnp.maximum(gt_boxes[..., 0:1], boxes[..., 0:1]),
+        0.0,
+    )
+    tb = jnp.maximum(
+        jnp.minimum(gt_boxes[..., 3:4], boxes[..., 3:4])
+        - jnp.maximum(gt_boxes[..., 1:2], boxes[..., 1:2]),
+        0.0,
+    )
+    inter = lr * tb
+    union = (
+        (gt_boxes[..., 2:3] - gt_boxes[..., 0:1])
+        * (gt_boxes[..., 3:4] - gt_boxes[..., 1:2])
+        + (boxes[..., 2:3] - boxes[..., 0:1])
+        * (boxes[..., 3:4] - boxes[..., 1:2])
+        - inter
+    )
+    cw = jnp.maximum(gt_boxes[..., 2:3], boxes[..., 2:3]) - jnp.minimum(
+        gt_boxes[..., 0:1], boxes[..., 0:1]
+    )
+    ch = jnp.maximum(gt_boxes[..., 3:4], boxes[..., 3:4]) - jnp.minimum(
+        gt_boxes[..., 1:2], boxes[..., 1:2]
+    )
+    c_area = cw * ch + EPSILON
+    return iou - (c_area - union) / c_area
+
+
+IOU_LOSS_FNS = {
+    "ciou": complete_iou,
+    "diou": distance_iou,
+    "giou": generalized_iou,
+}
+
+
 def detection_loss(
     resolved: Resolved,
     gt: jnp.ndarray,
@@ -104,10 +170,11 @@ def detection_loss(
     :param resolved: resolver output with log_class_probs populated.
     :param gt: (B, A, C+9) dense GT tensor
         [mask | gt_box xyxy | gt_deltas | one-hot class].
-    :param bbox_loss_kind: "l2" (reference parity: delta-space L2) or
-        "ciou" (Complete-IoU on decoded boxes, see module docstring).
-    :param anchors_xywh: (A, 4), required for "ciou" — the CIoU term
-        re-decodes resolved.deltas WITHOUT the image clamp (see module
+    :param bbox_loss_kind: "l2" (reference parity: delta-space L2) or an
+        IoU-family loss on decoded boxes — "ciou" | "diou" | "giou"
+        (see module docstring).
+    :param anchors_xywh: (A, 4), required for the IoU-family kinds — they
+        re-decode resolved.deltas WITHOUT the image clamp (see module
         docstring for why the clamped boxes NaN the gradient).
     :return: (loss (B,), stats dict of (B,) arrays)
     """
@@ -154,9 +221,11 @@ def detection_loss(
         / neg_norm
     )
 
-    if bbox_loss_kind == "ciou":
+    if bbox_loss_kind in IOU_LOSS_FNS:
         if anchors_xywh is None:
-            raise ValueError("bbox_loss_kind='ciou' requires anchors_xywh")
+            raise ValueError(
+                f"bbox_loss_kind={bbox_loss_kind!r} requires anchors_xywh"
+            )
         clip = jnp.asarray(CIOU_DELTA_CLIP, resolved.deltas.dtype)
         open_boxes = deltas_to_boxes(
             jnp.clip(resolved.deltas, -clip, clip),
@@ -165,8 +234,9 @@ def detection_loss(
             clip=False,
         )
         open_iou = compute_overlaps(gt_boxes, open_boxes)
-        ciou = complete_iou(gt_boxes, open_boxes, open_iou)
-        bbox_elem = 1.0 - ciou
+        bbox_elem = 1.0 - IOU_LOSS_FNS[bbox_loss_kind](
+            gt_boxes, open_boxes, open_iou
+        )
     else:
         assert bbox_loss_kind == "l2", bbox_loss_kind
         bbox_elem = jnp.sum(

@@ -59,7 +59,7 @@ class TaskSpec:
     ema_decay: float = 0.0  # 0 disables; 0.999-0.9999 typical
     nms_method: str = "hard"  # hard | soft_linear | soft_gauss
     soft_nms_sigma: float = 0.5  # gaussian decay width for soft_gauss
-    bbox_loss_kind: str = "l2"  # l2 (reference parity) | ciou
+    bbox_loss_kind: str = "l2"  # l2 (reference parity) | ciou | diou | giou
 
 
 def make_optimizer(task: TaskSpec) -> optax.GradientTransformation:

@@ -305,3 +305,182 @@ def test_complete_iou_matches_torch_oracle():
     )[:, 0]
     want = ciou_torch(a, b).numpy()
     np.testing.assert_allclose(np.asarray(ours), want, rtol=2e-4, atol=2e-4)
+
+
+# --- DIoU / GIoU bbox losses (--bbox_loss diou|giou) ----------------------
+
+def _random_box_pairs(n=64, seed=7):
+    rng = np.random.default_rng(seed)
+    xy = rng.uniform(0, 300, size=(n, 2, 2))
+    wh = rng.uniform(5, 200, size=(n, 2, 2))
+    a = np.concatenate([xy[:, 0], xy[:, 0] + wh[:, 0]], axis=1)
+    b = np.concatenate([xy[:, 1], xy[:, 1] + wh[:, 1]], axis=1)
+    return a, b
+
+
+def test_distance_iou_matches_torch_oracle():
+    """DIoU parity vs a transcription of torchvision's distance_box_iou
+    formula on random box pairs."""
+    import torch
+
+    from squeezedet_tpu.models.loss import distance_iou
+    from squeezedet_tpu.ops.box_ops import compute_overlaps
+
+    def diou_torch(a, b):
+        a = torch.as_tensor(a, dtype=torch.float64)
+        b = torch.as_tensor(b, dtype=torch.float64)
+        x1 = torch.maximum(a[:, 0], b[:, 0])
+        y1 = torch.maximum(a[:, 1], b[:, 1])
+        x2 = torch.minimum(a[:, 2], b[:, 2])
+        y2 = torch.minimum(a[:, 3], b[:, 3])
+        inter = (x2 - x1).clamp(min=0) * (y2 - y1).clamp(min=0)
+        area_a = (a[:, 2] - a[:, 0]) * (a[:, 3] - a[:, 1])
+        area_b = (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
+        iou = inter / (area_a + area_b - inter)
+        cw = torch.maximum(a[:, 2], b[:, 2]) - torch.minimum(a[:, 0], b[:, 0])
+        ch = torch.maximum(a[:, 3], b[:, 3]) - torch.minimum(a[:, 1], b[:, 1])
+        c2 = cw**2 + ch**2
+        rho2 = (
+            ((a[:, 0] + a[:, 2]) - (b[:, 0] + b[:, 2])) ** 2
+            + ((a[:, 1] + a[:, 3]) - (b[:, 1] + b[:, 3])) ** 2
+        ) / 4.0
+        return iou - rho2 / c2
+
+    a, b = _random_box_pairs()
+    aj, bj = jnp.asarray(a, jnp.float32), jnp.asarray(b, jnp.float32)
+    ours = distance_iou(aj, bj, compute_overlaps(aj, bj))[:, 0]
+    np.testing.assert_allclose(
+        np.asarray(ours), diou_torch(a, b).numpy(), rtol=2e-4, atol=2e-4
+    )
+
+
+def test_generalized_iou_matches_torch_oracle():
+    """GIoU parity vs a transcription of torchvision's generalized_box_iou
+    formula on random box pairs."""
+    import torch
+
+    from squeezedet_tpu.models.loss import generalized_iou
+    from squeezedet_tpu.ops.box_ops import compute_overlaps
+
+    def giou_torch(a, b):
+        a = torch.as_tensor(a, dtype=torch.float64)
+        b = torch.as_tensor(b, dtype=torch.float64)
+        x1 = torch.maximum(a[:, 0], b[:, 0])
+        y1 = torch.maximum(a[:, 1], b[:, 1])
+        x2 = torch.minimum(a[:, 2], b[:, 2])
+        y2 = torch.minimum(a[:, 3], b[:, 3])
+        inter = (x2 - x1).clamp(min=0) * (y2 - y1).clamp(min=0)
+        area_a = (a[:, 2] - a[:, 0]) * (a[:, 3] - a[:, 1])
+        area_b = (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
+        union = area_a + area_b - inter
+        iou = inter / union
+        cw = torch.maximum(a[:, 2], b[:, 2]) - torch.minimum(a[:, 0], b[:, 0])
+        ch = torch.maximum(a[:, 3], b[:, 3]) - torch.minimum(a[:, 1], b[:, 1])
+        c_area = cw * ch
+        return iou - (c_area - union) / c_area
+
+    a, b = _random_box_pairs()
+    aj, bj = jnp.asarray(a, jnp.float32), jnp.asarray(b, jnp.float32)
+    ours = generalized_iou(aj, bj, compute_overlaps(aj, bj))[:, 0]
+    np.testing.assert_allclose(
+        np.asarray(ours), giou_torch(a, b).numpy(), rtol=2e-4, atol=2e-4
+    )
+
+
+def test_iou_family_ranges_and_identity():
+    """GIoU/DIoU analytic sanity: 1 at identity; GIoU -> -1 as boxes
+    separate far apart; DIoU in (-1, 1]; both penalize distance."""
+    from squeezedet_tpu.models.loss import distance_iou, generalized_iou
+    from squeezedet_tpu.ops.box_ops import compute_overlaps
+
+    def val(fn, a, b):
+        a = jnp.asarray([a], jnp.float32)
+        b = jnp.asarray([b], jnp.float32)
+        return float(fn(a, b, compute_overlaps(a, b))[0, 0])
+
+    box = [10.0, 10.0, 30.0, 40.0]
+    for fn in (distance_iou, generalized_iou):
+        assert abs(val(fn, box, box) - 1.0) < 1e-6
+        near = val(fn, box, [14.0, 10.0, 34.0, 40.0])
+        far = val(fn, box, [80.0, 10.0, 100.0, 40.0])
+        assert near > far
+    # distant disjoint boxes: GIoU approaches -1, DIoU is bounded by -1
+    g = val(generalized_iou, [0, 0, 1, 1], [999, 999, 1000, 1000])
+    d = val(distance_iou, [0, 0, 1, 1], [999, 999, 1000, 1000])
+    assert -1.0 <= g < -0.99
+    assert -1.0 < d < 0.0
+
+
+def _escaped_grad_check(kind):
+    pred, gt = _random_batch(batch=1)
+    pred = pred.copy()
+    pos = int(np.flatnonzero(gt[0, :, 0])[0])
+    # mask=0 escape + positive-anchor escape + exp-overflow deltas, the
+    # same scenarios that NaN'd the clamped CIoU decode (EVIDENCE round 4)
+    pred[0, 0, -4:] = [-60.0, -60.0, -6.0, -6.0]
+    pred[0, 1, -4:] = [200.0, -200.0, 120.0, 120.0]
+    pred[0, pos, -4:] = [-60.0, -60.0, -6.0, -6.0]
+
+    def f(p):
+        r = resolve(p, jnp.asarray(ANCHORS), INPUT_SIZE, NUM_CLASSES,
+                    with_log_probs=True)
+        _, s = detection_loss(r, jnp.asarray(gt[:1]), NUM_ANCHORS,
+                              bbox_loss_kind=kind,
+                              anchors_xywh=jnp.asarray(ANCHORS))
+        return s["bbox_loss"].mean()
+
+    val, g = jax.value_and_grad(f)(jnp.asarray(pred))
+    assert np.isfinite(float(val))
+    assert np.all(np.isfinite(np.asarray(g)))
+    # the escaped positive box still receives a pull-back gradient
+    assert float(jnp.abs(g[0, pos, -4:]).sum()) > 0.0
+
+
+def test_diou_grad_finite_with_escaped_boxes():
+    _escaped_grad_check("diou")
+
+
+def test_giou_grad_finite_with_escaped_boxes():
+    _escaped_grad_check("giou")
+
+
+def _perfect_prediction_zero_and_descends(kind):
+    h, w = INPUT_SIZE
+    rng = np.random.default_rng(0)
+    gts = []
+    for _ in range(2):
+        idx = rng.choice(NUM_ANCHORS, 3, replace=False)
+        boxes = xywh_to_xyxy(ANCHORS[idx] * rng.uniform(0.9, 1.1, size=(3, 4)))
+        boxes = np.clip(boxes, [0, 0, 0, 0], [w - 1, h - 1, w - 1, h - 1])
+        class_ids = rng.integers(0, NUM_CLASSES, 3)
+        gts.append(encode_annotations(class_ids, boxes, ANCHORS, NUM_CLASSES))
+    gt_j = jnp.asarray(np.stack(gts))
+    pred, _ = _random_batch()
+    perfect = jnp.asarray(pred).at[..., -4:].set(gt_j[..., 5:9])
+    resolved_p = resolve(perfect, jnp.asarray(ANCHORS), INPUT_SIZE,
+                         NUM_CLASSES, with_log_probs=True)
+    _, stats_p = detection_loss(resolved_p, gt_j, NUM_ANCHORS,
+                                bbox_loss_kind=kind,
+                                anchors_xywh=jnp.asarray(ANCHORS))
+    np.testing.assert_allclose(np.asarray(stats_p["bbox_loss"]), 0.0,
+                               atol=1e-4)
+
+    def bbox_term(p):
+        r = resolve(p, jnp.asarray(ANCHORS), INPUT_SIZE, NUM_CLASSES,
+                    with_log_probs=True)
+        _, s = detection_loss(r, gt_j, NUM_ANCHORS, bbox_loss_kind=kind,
+                              anchors_xywh=jnp.asarray(ANCHORS))
+        return s["bbox_loss"].sum()
+
+    g = jax.grad(bbox_term)(jnp.asarray(pred))
+    assert np.all(np.isfinite(np.asarray(g)))
+    stepped = jnp.asarray(pred) - 0.05 * g
+    assert float(bbox_term(stepped)) < float(bbox_term(jnp.asarray(pred)))
+
+
+def test_diou_bbox_loss_zero_at_perfect_and_descends():
+    _perfect_prediction_zero_and_descends("diou")
+
+
+def test_giou_bbox_loss_zero_at_perfect_and_descends():
+    _perfect_prediction_zero_and_descends("giou")
