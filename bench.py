@@ -372,7 +372,11 @@ def main() -> None:
         0, 255, (BATCH, *INPUT_SIZE, 3), dtype=np.uint8
     )
     sum_fn = jax.jit(lambda a: jnp.sum(a, dtype=jnp.int32))
-    float(sum_fn(jax.device_put(probe[:1])))  # compile
+    # warm at the FULL probe shape: jit specializes per shape, so a
+    # batch-1 warmup would leave the remote compile (~seconds) inside the
+    # timed transfer and misreport a healthy tunnel as degraded
+    warm = np.zeros_like(probe)
+    float(sum_fn(jax.device_put(warm)))  # compile + first transfer
     t0 = time.perf_counter()
     float(sum_fn(jax.device_put(probe)))
     h2d_mb_s = probe.nbytes / 1e6 / (time.perf_counter() - t0)
@@ -427,12 +431,19 @@ def main() -> None:
             lock = threading.Lock()
             pending = iter(range(n_req))
 
+            errors: list = []
+
             def worker():
                 while True:
                     with lock:
                         if next(pending, None) is None:
                             return
-                    ms = post_once()
+                    try:
+                        ms = post_once()
+                    except Exception as e:  # count, don't kill the client
+                        with lock:
+                            errors.append(repr(e))
+                        continue
                     with lock:
                         slat_ms.append(ms)
 
@@ -445,10 +456,16 @@ def main() -> None:
             wall = time.perf_counter() - t0
             httpd.shutdown()
             httpd.batcher.close()
-            slat_ms.sort()
-            serve_rps = len(slat_ms) / wall
-            serve_p50 = slat_ms[len(slat_ms) // 2]
-            serve_p99 = slat_ms[int(0.99 * (len(slat_ms) - 1))]
+            if errors:
+                print(
+                    f"[bench] {len(errors)}/{n_req} serve requests failed "
+                    f"(first: {errors[0]})", file=sys.stderr,
+                )
+            if slat_ms:  # all-failed run must report null, not rps=0.0
+                slat_ms.sort()
+                serve_rps = len(slat_ms) / wall
+                serve_p50 = slat_ms[len(slat_ms) // 2]
+                serve_p99 = slat_ms[int(0.99 * (len(slat_ms) - 1))]
         except Exception as e:  # pragma: no cover - keep the bench JSON alive
             print(f"[bench] serve measurement unavailable: {e}", file=sys.stderr)
 

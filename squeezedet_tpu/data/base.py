@@ -58,11 +58,18 @@ class BaseDataset:
         path = getattr(cfg, "anchor_seeds_file", "")
         if not path:
             return default
-        seeds = np.loadtxt(path, dtype=np.float32).reshape(-1, 2)
-        if not (len(seeds) >= 1 and np.all(seeds > 0)):
+        raw = np.loadtxt(path, dtype=np.float32)
+        if raw.size == 0 or raw.size % 2 != 0:
             raise ValueError(
                 f"--anchor_seeds_file {path}: need a (K, 2) table of "
-                f"positive (w, h) pixels, got shape {seeds.shape}"
+                f"(w, h) pixels, got {raw.size} values"
+            )
+        seeds = raw.reshape(-1, 2)
+        if not np.all(seeds > 0):
+            bad = seeds[~np.all(seeds > 0, axis=1)][0]
+            raise ValueError(
+                f"--anchor_seeds_file {path}: every (w, h) must be "
+                f"positive, found {tuple(bad)}"
             )
         return seeds
 

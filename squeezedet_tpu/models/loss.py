@@ -64,26 +64,43 @@ class LossWeights(NamedTuple):
     bbox_weight: float = 6.0
 
 
-def complete_iou(gt_boxes: jnp.ndarray, boxes: jnp.ndarray,
-                 iou: jnp.ndarray) -> jnp.ndarray:
-    """Elementwise CIoU between equal-shaped (..., 4) xyxy tensors.
-
-    ``iou`` is the precomputed elementwise IoU (same convention as
-    compute_overlaps; gradients flow through it). The aspect term's
-    alpha is stop-gradiented per the paper. Returns shape (..., 1).
-    """
-    gx = (gt_boxes[..., 0:1] + gt_boxes[..., 2:3]) * 0.5
-    gy = (gt_boxes[..., 1:2] + gt_boxes[..., 3:4]) * 0.5
-    px = (boxes[..., 0:1] + boxes[..., 2:3]) * 0.5
-    py = (boxes[..., 1:2] + boxes[..., 3:4]) * 0.5
-    rho2 = (gx - px) ** 2 + (gy - py) ** 2
+def _enclosing_wh(gt_boxes: jnp.ndarray,
+                  boxes: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Width/height of the smallest box enclosing both (..., 4) xyxy
+    tensors (exclusive areas, no +1 — the compute_overlaps convention)."""
     cw = jnp.maximum(gt_boxes[..., 2:3], boxes[..., 2:3]) - jnp.minimum(
         gt_boxes[..., 0:1], boxes[..., 0:1]
     )
     ch = jnp.maximum(gt_boxes[..., 3:4], boxes[..., 3:4]) - jnp.minimum(
         gt_boxes[..., 1:2], boxes[..., 1:2]
     )
+    return cw, ch
+
+
+def distance_iou(gt_boxes: jnp.ndarray, boxes: jnp.ndarray,
+                 iou: jnp.ndarray) -> jnp.ndarray:
+    """Elementwise DIoU (Zheng et al., AAAI 2020) between equal-shaped
+    (..., 4) xyxy tensors: IoU minus center-distance² over
+    enclosing-diagonal².
+
+    ``iou`` is the precomputed elementwise IoU (same convention as
+    compute_overlaps; gradients flow through it). Returns (..., 1).
+    """
+    gx = (gt_boxes[..., 0:1] + gt_boxes[..., 2:3]) * 0.5
+    gy = (gt_boxes[..., 1:2] + gt_boxes[..., 3:4]) * 0.5
+    px = (boxes[..., 0:1] + boxes[..., 2:3]) * 0.5
+    py = (boxes[..., 1:2] + boxes[..., 3:4]) * 0.5
+    rho2 = (gx - px) ** 2 + (gy - py) ** 2
+    cw, ch = _enclosing_wh(gt_boxes, boxes)
     c2 = cw**2 + ch**2 + EPSILON
+    return iou - rho2 / c2
+
+
+def complete_iou(gt_boxes: jnp.ndarray, boxes: jnp.ndarray,
+                 iou: jnp.ndarray) -> jnp.ndarray:
+    """Elementwise CIoU: DIoU plus the aspect-consistency penalty. The
+    aspect term's alpha is stop-gradiented per the paper. Same
+    shapes/conventions as distance_iou."""
     gw = gt_boxes[..., 2:3] - gt_boxes[..., 0:1]
     gh = gt_boxes[..., 3:4] - gt_boxes[..., 1:2]
     pw = boxes[..., 2:3] - boxes[..., 0:1]
@@ -93,35 +110,16 @@ def complete_iou(gt_boxes: jnp.ndarray, boxes: jnp.ndarray,
         jnp.arctan2(gw, gh) - jnp.arctan2(pw, ph)
     ) ** 2
     alpha = jax.lax.stop_gradient(v / (1.0 - iou + v + EPSILON))
-    return iou - rho2 / c2 - alpha * v
-
-
-def distance_iou(gt_boxes: jnp.ndarray, boxes: jnp.ndarray,
-                 iou: jnp.ndarray) -> jnp.ndarray:
-    """Elementwise DIoU (Zheng et al., AAAI 2020): CIoU without the
-    aspect-consistency term. Same shapes/conventions as complete_iou."""
-    gx = (gt_boxes[..., 0:1] + gt_boxes[..., 2:3]) * 0.5
-    gy = (gt_boxes[..., 1:2] + gt_boxes[..., 3:4]) * 0.5
-    px = (boxes[..., 0:1] + boxes[..., 2:3]) * 0.5
-    py = (boxes[..., 1:2] + boxes[..., 3:4]) * 0.5
-    rho2 = (gx - px) ** 2 + (gy - py) ** 2
-    cw = jnp.maximum(gt_boxes[..., 2:3], boxes[..., 2:3]) - jnp.minimum(
-        gt_boxes[..., 0:1], boxes[..., 0:1]
-    )
-    ch = jnp.maximum(gt_boxes[..., 3:4], boxes[..., 3:4]) - jnp.minimum(
-        gt_boxes[..., 1:2], boxes[..., 1:2]
-    )
-    c2 = cw**2 + ch**2 + EPSILON
-    return iou - rho2 / c2
+    return distance_iou(gt_boxes, boxes, iou) - alpha * v
 
 
 def generalized_iou(gt_boxes: jnp.ndarray, boxes: jnp.ndarray,
                     iou: jnp.ndarray) -> jnp.ndarray:
     """Elementwise GIoU (Rezatofighi et al., CVPR 2019): IoU minus the
     enclosing-box area not covered by the union, normalized by the
-    enclosing area. Areas are exclusive (no +1), matching
-    compute_overlaps — the precomputed ``iou`` must come from it so the
-    union recovered below is consistent."""
+    enclosing area. The precomputed ``iou`` must come from
+    compute_overlaps so the union recovered below is consistent with it.
+    Same shapes/conventions as distance_iou."""
     lr = jnp.maximum(
         jnp.minimum(gt_boxes[..., 2:3], boxes[..., 2:3])
         - jnp.maximum(gt_boxes[..., 0:1], boxes[..., 0:1]),
@@ -140,12 +138,7 @@ def generalized_iou(gt_boxes: jnp.ndarray, boxes: jnp.ndarray,
         * (boxes[..., 3:4] - boxes[..., 1:2])
         - inter
     )
-    cw = jnp.maximum(gt_boxes[..., 2:3], boxes[..., 2:3]) - jnp.minimum(
-        gt_boxes[..., 0:1], boxes[..., 0:1]
-    )
-    ch = jnp.maximum(gt_boxes[..., 3:4], boxes[..., 3:4]) - jnp.minimum(
-        gt_boxes[..., 1:2], boxes[..., 1:2]
-    )
+    cw, ch = _enclosing_wh(gt_boxes, boxes)
     c_area = cw * ch + EPSILON
     return iou - (c_area - union) / c_area
 

@@ -320,7 +320,12 @@ def make_handler(batcher: DynamicBatcher, cfg, started: float):
             try:
                 length = int(self.headers.get("Content-Length", 0))
                 data = self.rfile.read(length)
-                ctype = self.headers.get("Content-Type", "")
+                # media type only: strip any ';'-parameters and case per
+                # RFC 2045 (proxies may append '; charset=...' or recase)
+                ctype = (
+                    self.headers.get("Content-Type", "")
+                    .split(";", 1)[0].strip().lower()
+                )
                 if ctype == RAW_TENSOR_CONTENT_TYPE:
                     image, meta = preprocess_raw_tensor(data, cfg, raw=raw)
                 else:

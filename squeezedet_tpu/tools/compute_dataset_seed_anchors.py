@@ -69,6 +69,8 @@ def main() -> None:
     out_path = ""
     if "--out" in argv:  # not a Config flag: strip before parse
         i = argv.index("--out")
+        if i + 1 >= len(argv):
+            raise SystemExit("--out requires a path argument")
         out_path = argv[i + 1]
         argv = argv[:i] + argv[i + 2:]
     cfg = parse(["eval"] + argv)
@@ -77,7 +79,9 @@ def main() -> None:
     print("Dataset's seed anchors:")
     print(seeds)
     if out_path:
-        np.savetxt(out_path, seeds, fmt="%d")
+        # float format: '%d' would truncate the k-means centroids toward
+        # zero, a systematic sub-pixel shrink baked into every round-trip
+        np.savetxt(out_path, seeds, fmt="%.2f")
         print(f"saved to {os.path.abspath(out_path)} "
               "(feed back via --anchor_seeds_file)")
 

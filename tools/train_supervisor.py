@@ -125,7 +125,7 @@ def main(argv=None) -> int:
                 outage_streak > args.max_outage_attempts
             ):
                 print(
-                    f"[supervisor] {outage_streak - 1} consecutive rc=14 "
+                    f"[supervisor] {outage_streak} consecutive rc=14 "
                     "attempts without progress exceeds "
                     f"--max_outage_attempts={args.max_outage_attempts}. "
                     "An outage this long is implausible — suspect a "
