@@ -612,3 +612,27 @@ def test_encode_device_multi_positive_matches_host():
         )
         np.testing.assert_allclose(dev, host, atol=2e-4)
     assert total_extras > 0  # the sweep actually exercised the extras pass
+
+
+def test_device_train_epoch_descends_ciou():
+    """The flagship production recipe's loss (bbox_loss=ciou) through the
+    whole-epoch device dispatch: finite and descending on the 8-device
+    mesh (exp/ciou600's configuration, minus scale)."""
+    import dataclasses
+
+    assert len(jax.devices()) >= 8
+    mesh = make_mesh(8)
+    task = dataclasses.replace(_task(), bbox_loss_kind="ciou", ema_decay=0.99)
+    data, n_loc, hw = put_device_data(mesh, _staged(16))
+    fn, steps = make_train_epoch(task, _spec(), mesh, ANCHORS, n_loc, 8, hw)
+
+    state = replicate(mesh, init_train_state(
+        init_params(jax.random.PRNGKey(0), task.model), task))
+    losses = []
+    for epoch in range(1, 4):
+        state, stats = fn(state, data, 0.01, jax.random.PRNGKey(epoch))
+        losses.extend(np.asarray(stats["loss"]).tolist())
+        assert np.all(np.isfinite(np.asarray(stats["bbox_loss"])))
+    assert np.all(np.isfinite(losses))
+    assert np.mean(losses[-2:]) < np.mean(losses[:2])
+    assert state.ema is not None
