@@ -273,6 +273,74 @@ def test_train_supervisor_fresh_run_outage_retries(tmp_path):
     assert out.stdout.count("not counted against the restart budget") == 2
 
 
+def test_train_supervisor_git_snapshots(tmp_path):
+    """--snapshot_git_s commits the run's save_dir (scoped pathspec) into
+    the repo while training runs, plus a final snapshot at completion —
+    so a container wipe can never lose more than one snapshot interval of
+    an in-flight run (the Aug-19/Aug-20 restarts each killed a multi-hour
+    run whose state_last had never actually been committed)."""
+    import subprocess
+    import sys
+
+    repo = tmp_path / "repo"
+    save_dir = repo / "exp" / "run6"
+    save_dir.mkdir(parents=True)
+    for cmd in (
+        ["git", "init", "-q"],
+        ["git", "config", "user.email", "t@t"],
+        ["git", "config", "user.name", "t"],
+        ["git", "commit", "-q", "--allow-empty", "-m", "root"],
+    ):
+        subprocess.run(cmd, cwd=repo, check=True, capture_output=True)
+    # an unrelated dirty file must NOT be swept into snapshot commits
+    (repo / "unrelated.txt").write_text("dirty")
+
+    # fake trainer: writes state_last, keeps appending log lines long
+    # enough for at least one mid-run snapshot tick, then exits 0
+    fake = tmp_path / "fake_train.py"
+    fake.write_text(
+        "import os, time\n"
+        f"sd = {str(save_dir)!r}\n"
+        "os.makedirs(os.path.join(sd, 'state_last'), exist_ok=True)\n"
+        "open(os.path.join(sd, 'state_last', 'ckpt'), 'w').write('s')\n"
+        "for i in range(8):\n"
+        "    open(os.path.join(sd, 'log.txt'), 'a').write(f'epoch {i}\\n')\n"
+        "    time.sleep(0.25)\n"
+    )
+    out = subprocess.run(
+        [
+            sys.executable, "tools/train_supervisor.py",
+            "--max_restarts", "1", "--retry_delay_s", "0.05",
+            "--snapshot_git_s", "0.4", "--snapshot_repo", str(repo),
+            "--train_cmd", f"{sys.executable} {fake}",
+            "--",
+            "--exp_id", "run6", "--save_dir", str(save_dir),
+        ],
+        capture_output=True, text=True, cwd=os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert out.returncode == 0, out.stdout + out.stderr
+    log = subprocess.run(
+        ["git", "log", "--oneline"], cwd=repo,
+        capture_output=True, text=True, check=True,
+    ).stdout
+    n_snaps = log.count("run6 auto-snapshot")
+    assert n_snaps >= 2, log  # at least one mid-run tick + the final one
+    # the committed tree has the resumable state and the latest log
+    files = subprocess.run(
+        ["git", "ls-files"], cwd=repo, capture_output=True, text=True,
+        check=True,
+    ).stdout
+    assert "exp/run6/state_last/ckpt" in files
+    assert "exp/run6/log.txt" in files
+    assert "unrelated.txt" not in files  # scoped: never swept up
+    status = subprocess.run(
+        ["git", "status", "--porcelain"], cwd=repo,
+        capture_output=True, text=True, check=True,
+    ).stdout
+    assert "unrelated.txt" in status  # still dirty, still uncommitted
+
+
 def test_average_checkpoints(tmp_path):
     """SWA tool: leaf-wise mean of orbax params checkpoints; refuses
     structural mismatches; output loads through the normal eval path."""

@@ -55,6 +55,16 @@ def main(argv=None) -> int:
                     "eventually surface as a failure) from a relay "
                     "outage (which resolves well within the cap). "
                     "0 = retry forever")
+    ap.add_argument("--snapshot_git_s", type=float, default=0.0,
+                    help="if >0, git-commit the run's save_dir (logs + "
+                    "resumable state_last) every N seconds, scoped to "
+                    "that path only. Encodes the Aug-19/Aug-20 lesson: "
+                    "container restarts wipe uncommitted state, and an "
+                    "in-flight multi-hour run is only as durable as its "
+                    "last COMMITTED state_last. Requires save_dir to be "
+                    "inside the repo and state_last not gitignored.")
+    ap.add_argument("--snapshot_repo", default=REPO,
+                    help="git repo the snapshots commit into (testing)")
     ap.add_argument("--train_cmd", default="",
                     help="override the launched command (testing)")
     ap.add_argument("flags", nargs=argparse.REMAINDER,
@@ -79,6 +89,41 @@ def main(argv=None) -> int:
         except OSError:
             return 0.0
 
+    def snapshot_once() -> None:
+        """Scoped add+commit of save_dir only (`git commit -- <path>`
+        ignores whatever else is staged, so a concurrent interactive
+        commit in the same repo cannot be swept up). Lock contention and
+        nothing-to-commit both exit nonzero — tolerated, retried on the
+        next tick. Gitignored subpaths (model_NNN etc.) are skipped by
+        the add automatically."""
+        rel = os.path.relpath(save_dir, args.snapshot_repo)
+        try:
+            subprocess.run(
+                ["git", "-C", args.snapshot_repo, "add", "-A", "--", rel],
+                capture_output=True, timeout=300,
+            )
+            r = subprocess.run(
+                ["git", "-C", args.snapshot_repo, "commit", "-q", "-m",
+                 f"{exp_id} auto-snapshot (supervisor): logs + resumable "
+                 "state_last", "--", rel],
+                capture_output=True, timeout=300,
+            )
+            if r.returncode == 0:
+                print(f"[supervisor] committed snapshot of {rel}",
+                      flush=True)
+        except Exception as e:  # snapshotting must never kill the run
+            print(f"[supervisor] snapshot commit failed: {e}", flush=True)
+
+    if args.snapshot_git_s > 0:
+        import threading
+
+        def _snapshot_loop():
+            while True:
+                time.sleep(args.snapshot_git_s)
+                snapshot_once()
+
+        threading.Thread(target=_snapshot_loop, daemon=True).start()
+
     # --max_restarts bounds CONSECUTIVE no-progress failures, not total
     # restarts: a relay outage mid-way through a multi-hour run must not
     # exhaust the budget that a 95%-complete run still needs (observed:
@@ -100,6 +145,8 @@ def main(argv=None) -> int:
             # a relaunch that resumes past the final epoch exits 0
             # immediately, so completion detection needs no metadata
             print("[supervisor] training completed", flush=True)
+            if args.snapshot_git_s > 0:
+                snapshot_once()  # final state, not just the last tick
             return 0
         if not os.path.isdir(state_last) and rc != 14:
             # A non-outage failure before the first checkpoint is a real
