@@ -68,7 +68,8 @@ class Config:
     positive_score_loss_weight: float = 3.75
     negative_score_loss_weight: float = 100.0
     bbox_loss_weight: float = 6.0
-    bbox_loss: str = "l2"  # l2 (reference parity: delta-space L2) | ciou | diou | giou
+    bbox_loss: str = "l2"  # l2 (reference parity) | ciou|diou|giou | l2+<iou> hybrid
+    bbox_iou_mix: float = 0.5  # IoU-element weight in the l2+<iou> hybrid kinds
     #   (Complete-IoU on decoded boxes, Zheng et al. 2020 — targets
     #   localization quality directly; built for the occ-2 cohort stuck
     #   at IoU [0.5, 0.7) under the devkit's 0.7 car gate, EVIDENCE r4)
@@ -240,7 +241,10 @@ _FLAG_HELP = {
     "lr": "learning rate (reference default tuned for batch size 32)",
     "lr_schedule": "step (reference StepLR(60,.5)) | cosine | constant",
     "bbox_loss": "l2 (reference parity: delta-space L2) | ciou | diou | "
-                 "giou (IoU-family losses on decoded boxes)",
+                 "giou (IoU-family losses on decoded boxes) | l2+ciou | "
+                 "l2+diou | l2+giou (L2 unchanged + bbox_iou_mix x IoU term)",
+    "bbox_iou_mix": "weight on the IoU element in the l2+<iou> hybrid "
+                    "bbox losses (l2 part is never rescaled)",
     "warmup_epochs": "linear lr warmup over the first N epochs (0 = off)",
     "min_lr": "cosine schedule floor, reached at the final epoch",
     "ema_decay": "EMA of params; eval/model_best use the averaged weights "

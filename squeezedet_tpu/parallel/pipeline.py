@@ -345,6 +345,7 @@ def make_pipeline(
         loss, _ = detection_loss(
             resolved, gt, task.num_anchors, task.loss_weights,
             bbox_loss_kind=task.bbox_loss_kind, anchors_xywh=anchors,
+            iou_mix=task.bbox_iou_mix,
         )
         return loss.mean()
 

@@ -59,7 +59,8 @@ class TaskSpec:
     ema_decay: float = 0.0  # 0 disables; 0.999-0.9999 typical
     nms_method: str = "hard"  # hard | soft_linear | soft_gauss
     soft_nms_sigma: float = 0.5  # gaussian decay width for soft_gauss
-    bbox_loss_kind: str = "l2"  # l2 (reference parity) | ciou | diou | giou
+    bbox_loss_kind: str = "l2"  # l2 (reference parity) | ciou|diou|giou | l2+<iou>
+    bbox_iou_mix: float = 0.5  # IoU-element weight in the l2+<iou> hybrids
 
 
 def make_optimizer(task: TaskSpec) -> optax.GradientTransformation:
@@ -164,6 +165,7 @@ def _loss_for_batch(
     loss, stats = detection_loss(
         resolved, gt, task.num_anchors, task.loss_weights,
         bbox_loss_kind=task.bbox_loss_kind, anchors_xywh=anchors,
+        iou_mix=task.bbox_iou_mix,
     )
     if sample_weights is None:
         return loss.mean(), {k: v.mean() for k, v in stats.items()}

@@ -63,6 +63,7 @@ def build_task(cfg) -> TaskSpec:
         nms_method=getattr(cfg, "nms_method", "hard"),
         soft_nms_sigma=getattr(cfg, "soft_nms_sigma", 0.5),
         bbox_loss_kind=_validated_bbox_loss(cfg),
+        bbox_iou_mix=float(getattr(cfg, "bbox_iou_mix", 0.5)),
     )
 
 
@@ -70,7 +71,8 @@ def _validated_bbox_loss(cfg) -> str:
     """Fail fast on a typo'd --bbox_loss instead of deep in the jitted
     loss (the unknown-kind assert there fires only at trace time)."""
     kind = getattr(cfg, "bbox_loss", "l2")
-    valid = ("l2", "ciou", "diou", "giou")
+    valid = ("l2", "ciou", "diou", "giou",
+             "l2+ciou", "l2+diou", "l2+giou")
     if kind not in valid:
         raise SystemExit(
             f"--bbox_loss {kind!r} is not one of {'|'.join(valid)}"

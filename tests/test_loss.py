@@ -484,3 +484,98 @@ def test_diou_bbox_loss_zero_at_perfect_and_descends():
 
 def test_giou_bbox_loss_zero_at_perfect_and_descends():
     _perfect_prediction_zero_and_descends("giou")
+
+
+# --- hybrid l2+<iou> bbox losses (--bbox_loss l2+ciou --bbox_iou_mix) ----
+
+def test_hybrid_bbox_loss_is_l2_plus_mix_times_iou():
+    """The hybrid element is EXACTLY l2_elem + mix * iou_elem, so the
+    summed bbox stat decomposes the same way (same masks/normalizers)."""
+    pred, gt = _random_batch()
+    resolved = resolve(jnp.asarray(pred), jnp.asarray(ANCHORS), INPUT_SIZE,
+                       NUM_CLASSES, with_log_probs=True)
+    a = jnp.asarray(ANCHORS)
+    gt_j = jnp.asarray(gt)
+    _, s_l2 = detection_loss(resolved, gt_j, NUM_ANCHORS)
+    for kind in ("ciou", "diou", "giou"):
+        _, s_iou = detection_loss(resolved, gt_j, NUM_ANCHORS,
+                                  bbox_loss_kind=kind, anchors_xywh=a)
+        for mix in (0.0, 0.5, 2.0):
+            _, s_h = detection_loss(resolved, gt_j, NUM_ANCHORS,
+                                    bbox_loss_kind="l2+" + kind,
+                                    anchors_xywh=a, iou_mix=mix)
+            np.testing.assert_allclose(
+                np.asarray(s_h["bbox_loss"]),
+                np.asarray(s_l2["bbox_loss"])
+                + mix * np.asarray(s_iou["bbox_loss"]),
+                rtol=1e-5,
+            )
+    # mix=0 reproduces pure l2 bit-for-bit on the total loss too
+    l0, _ = detection_loss(resolved, gt_j, NUM_ANCHORS,
+                           bbox_loss_kind="l2+ciou", anchors_xywh=a,
+                           iou_mix=0.0)
+    l_l2, _ = detection_loss(resolved, gt_j, NUM_ANCHORS)
+    np.testing.assert_allclose(np.asarray(l0), np.asarray(l_l2), rtol=1e-6)
+
+
+def test_hybrid_grad_finite_with_escaped_boxes():
+    """The exp/ciou600 step-1 NaN scenario must stay fixed through the
+    hybrid path (same unclamped decode + delta clip)."""
+    pred, gt = _random_batch(batch=1)
+    pred = pred.copy()
+    pred[0, 0, -4:] = [-60.0, -60.0, -6.0, -6.0]
+    pred[0, 1, -4:] = [200.0, -200.0, 120.0, 120.0]
+    pos = int(np.flatnonzero(gt[0, :, 0])[0])
+    pred[0, pos, -4:] = [-60.0, -60.0, -6.0, -6.0]
+
+    def f(p):
+        r = resolve(p, jnp.asarray(ANCHORS), INPUT_SIZE, NUM_CLASSES,
+                    with_log_probs=True)
+        loss, _ = detection_loss(r, jnp.asarray(gt[:1]), NUM_ANCHORS,
+                                 bbox_loss_kind="l2+ciou",
+                                 anchors_xywh=jnp.asarray(ANCHORS))
+        return loss.mean()
+
+    val, g = jax.value_and_grad(f)(jnp.asarray(pred))
+    assert np.isfinite(float(val))
+    assert np.all(np.isfinite(np.asarray(g)))
+    assert float(jnp.abs(g[0, pos, -4:]).sum()) > 0.0
+
+
+def test_hybrid_bbox_loss_zero_at_perfect_and_descends():
+    _perfect_prediction_zero_and_descends("l2+ciou")
+
+
+def test_hybrid_train_step_descends():
+    """Full jitted train step with the hybrid loss descends and threads
+    bbox_iou_mix through TaskSpec."""
+    from squeezedet_tpu.models.squeezedet import ModelSpec, init_params
+    from squeezedet_tpu.parallel.train import (
+        TaskSpec, init_train_state, make_train_step,
+    )
+
+    task = TaskSpec(
+        model=ModelSpec(arch="squeezedet", num_classes=3, anchors_per_grid=3,
+                        dropout_prob=0.0),
+        input_size=INPUT_SIZE,
+        num_anchors=NUM_ANCHORS,
+        bbox_loss_kind="l2+ciou",
+        bbox_iou_mix=0.5,
+    )
+    params = init_params(jax.random.PRNGKey(0), task.model)
+    state = init_train_state(params, task)
+    step = make_train_step(task)
+    _, gt = _random_batch(batch=2, seed=3)
+    images = np.random.default_rng(4).normal(
+        size=(2, *INPUT_SIZE, 3)
+    ).astype(np.float32)
+    key = jax.random.PRNGKey(1)
+    losses = []
+    for _ in range(6):
+        state, stats = step(
+            state, jnp.asarray(images), jnp.asarray(gt),
+            jnp.asarray(ANCHORS), 0.01, key,
+        )
+        losses.append(float(stats["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
