@@ -579,3 +579,19 @@ def test_hybrid_train_step_descends():
         losses.append(float(stats["loss"]))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
+
+
+def test_validated_bbox_loss_accepts_hybrids_rejects_typos():
+    from squeezedet_tpu.train import _validated_bbox_loss
+
+    class C:
+        pass
+
+    for ok in ("l2", "ciou", "l2+ciou", "l2+diou", "l2+giou"):
+        c = C(); c.bbox_loss = ok
+        assert _validated_bbox_loss(c) == ok
+    import pytest
+    for bad in ("l2+foo", "cioux", "l2 + ciou"):
+        c = C(); c.bbox_loss = bad
+        with pytest.raises(SystemExit):
+            _validated_bbox_loss(c)
