@@ -67,8 +67,18 @@ def _ensure_backend() -> None:
     loop; bench must exit rather than hang the round driver."""
     # importing misc is backend-free (module level only imports numpy)
     from squeezedet_tpu.utils.misc import probe_backend
+    from squeezedet_tpu.utils.yieldfile import clear_yield, request_yield
 
     platform = os.environ.get("SQDT_PLATFORM")
+    if not platform or platform == "axon":
+        # TPU-claim yield handshake: ask any in-flight training run to
+        # save state and release the single relay claim (it checks at
+        # epoch boundaries, ~20s granularity; its supervisor resumes it
+        # once we clear the sentinel — which every exit path below does).
+        # Survives the os.execv retry loop: execv keeps the pid, so the
+        # sentinel stays valid for staleness checks. Skipped for explicit
+        # CPU smoke runs, which never touch the claim.
+        request_yield()
     if platform:
         # explicit backend override (e.g. SQDT_PLATFORM=cpu smoke-tests the
         # bench logic without the TPU claim); same escape hatch as the CLI
@@ -91,6 +101,7 @@ def _ensure_backend() -> None:
         print(f"[bench] backend init failed after {retries} retries: {res}",
               file=sys.stderr)
         sys.stderr.flush()
+        clear_yield()  # let a yielded training run resume
         # crash-only: a wedged init RPC thread would block normal exit
         os._exit(14)
     print(f"[bench] backend init failed ({res}); retrying in 30s", file=sys.stderr)
@@ -113,12 +124,15 @@ def _arm_deadline() -> None:
         return
 
     def fire():
+        from squeezedet_tpu.utils.yieldfile import clear_yield
+
         print(
             f"[bench] run exceeded {deadline_s:.0f}s deadline — the relay "
             "has likely wedged a dispatch mid-bench; exiting crash-only "
             "so the driver is not hung.", file=sys.stderr,
         )
         sys.stderr.flush()
+        clear_yield()  # let a yielded training run resume
         os._exit(14)
 
     t = threading.Timer(deadline_s, fire)
@@ -515,4 +529,12 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    finally:
+        # every non-crash-only exit path (success, exception, SIGINT's
+        # KeyboardInterrupt) releases the yield sentinel so a paused
+        # training run auto-resumes; the os._exit paths clear explicitly
+        from squeezedet_tpu.utils.yieldfile import clear_yield
+
+        clear_yield()

@@ -61,6 +61,14 @@ def run() -> None:
 if __name__ == "__main__":
     try:
         run()
+    except SystemExit as e:
+        # deliberate exits (e.g. the TPU-claim yield, rc=15) keep their
+        # code but still leave crash-only: any non-daemon relay thread
+        # would otherwise block interpreter shutdown and turn a clean
+        # yield into a hang the supervisor cannot distinguish
+        sys.stdout.flush()
+        sys.stderr.flush()
+        os._exit(e.code if isinstance(e.code, int) else 0)
     except Exception:
         # crash-only exit: print the error and leave via os._exit so a
         # wedged TPU-relay RPC (whose thread/destructor would block a

@@ -153,7 +153,27 @@ def _train_epochs(
     cfg, trainer, logger, train_loader, val_loader, val_dataset, task,
     metrics, best, better_than, start_epoch,
 ):
+    from squeezedet_tpu.utils.yieldfile import (
+        YIELD_EXIT_CODE,
+        yield_requested,
+    )
+
     for epoch in range(start_epoch, cfg.num_epochs + 1):
+        if yield_requested():
+            # TPU-claim yield handshake (utils/yieldfile.py): another
+            # process (the round driver's bench.py) needs the single
+            # relay claim. Save a resumable state and exit rc=15; the
+            # supervisor waits for the sentinel to clear and relaunches
+            # with --resume, so the run loses nothing but wall time.
+            save_train_state(
+                os.path.join(cfg.save_dir, "state_last"), trainer.state,
+                epoch - 1, best=best,
+            )
+            logger.write(
+                f"yield requested before epoch {epoch}: saved state_last, "
+                f"releasing the TPU claim (rc={YIELD_EXIT_CODE})"
+            )
+            raise SystemExit(YIELD_EXIT_CODE)
         train_stats = trainer.train_epoch(epoch, train_loader)
         logger.update(train_stats, phase="train", epoch=epoch)
 

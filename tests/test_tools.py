@@ -466,3 +466,56 @@ def test_train_supervisor_outage_cap_surfaces_deterministic_hang(tmp_path):
     assert open(marker).read() == "5"
     assert "max_outage_attempts" in out.stdout
     assert "deterministic in-code hang" in out.stdout
+
+
+def test_train_supervisor_waits_for_yield(tmp_path):
+    """rc=15 (TPU-claim yield) pauses the supervisor until the requester's
+    sentinel clears, then relaunches with --resume — never counted against
+    the restart budget (utils/yieldfile.py handshake)."""
+    import subprocess
+    import sys
+
+    state = tmp_path / "exp" / "runy" / "state_last"
+    marker = tmp_path / "attempts.txt"
+    fake = tmp_path / "fake_train.py"
+    fake.write_text(
+        "import os, sys\n"
+        f"m = {str(marker)!r}\n"
+        "n = int(open(m).read()) if os.path.exists(m) else 0\n"
+        "open(m, 'w').write(str(n + 1))\n"
+        f"os.makedirs({str(state)!r}, exist_ok=True)\n"
+        "if n == 0:\n"
+        "    sys.exit(15)\n"  # yielded the claim
+        "assert '--resume' in sys.argv, 'relaunch must pass --resume'\n"
+        "sys.exit(0)\n"
+    )
+    # the "bench": a live process whose pid the sentinel records; when it
+    # exits, yield_requested() treats the sentinel as stale and clears it.
+    # Reap it from a thread the moment it dies — in production the bench
+    # is not the supervisor's child, so it never lingers as a zombie
+    # (a zombie pid still passes os.kill(pid, 0) and would wedge the wait).
+    import threading
+
+    holder = subprocess.Popen([sys.executable, "-c", "import time; time.sleep(2)"])
+    reaper = threading.Thread(target=holder.wait)
+    reaper.start()
+    yf = tmp_path / "yield"
+    yf.write_text(str(holder.pid))
+    out = subprocess.run(
+        [
+            sys.executable, "tools/train_supervisor.py",
+            "--max_restarts", "0",  # any budget accounting would fail this
+            "--retry_delay_s", "0.1",
+            "--train_cmd", f"{sys.executable} {fake}",
+            "--",
+            "--exp_id", "runy", "--save_dir", str(tmp_path / "exp" / "runy"),
+        ],
+        capture_output=True, text=True, timeout=120,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env={**os.environ, "SQDT_YIELD_FILE": str(yf)},
+    )
+    reaper.join()
+    assert out.returncode == 0, out.stdout + out.stderr
+    assert open(marker).read() == "2"
+    assert "yielded the TPU claim" in out.stdout
+    assert "yield cleared" in out.stdout

@@ -195,3 +195,60 @@ def test_guarded_backend_init_exits_on_first_execute_wedge():
     )
     assert proc.returncode == 14, proc.stderr
     assert "init-watchdog" in proc.stdout
+
+
+# ---------------------------------------------------------------------------
+# TPU-claim yield protocol (utils/yieldfile.py): bench.py requests the
+# single relay claim via a sentinel file; training releases it at the next
+# epoch boundary with a resumable state_last and rc=15.
+
+
+def test_yieldfile_lifecycle_and_staleness(tmp_path, monkeypatch):
+    import subprocess
+    import sys
+
+    monkeypatch.setenv("SQDT_YIELD_FILE", str(tmp_path / "yield"))
+    from squeezedet_tpu.utils import yieldfile
+
+    assert not yieldfile.yield_requested()
+    yieldfile.request_yield()
+    assert yieldfile.yield_requested()  # our own pid is alive
+    yieldfile.clear_yield()
+    assert not yieldfile.yield_requested()
+    yieldfile.clear_yield()  # idempotent
+
+    # stale sentinel: requester pid is dead -> auto-removed, reported False
+    holder = subprocess.Popen([sys.executable, "-c", "pass"])
+    holder.wait()
+    (tmp_path / "yield").write_text(str(holder.pid))
+    assert not yieldfile.yield_requested()
+    assert not (tmp_path / "yield").exists()
+
+    # unparsable body is treated as stale too
+    (tmp_path / "yield").write_text("not-a-pid")
+    assert not yieldfile.yield_requested()
+    assert not (tmp_path / "yield").exists()
+
+
+def test_train_yields_on_request(tmp_path, monkeypatch):
+    """A pre-set yield sentinel makes train() save state_last and exit
+    rc=15 before dispatching the epoch (the bench handshake's train
+    side)."""
+    import os
+
+    _make_kitti_tree(str(tmp_path / "data"))
+    cfg = _trainer_cfg(tmp_path, num_epochs=3)
+
+    monkeypatch.setenv("SQDT_YIELD_FILE", str(tmp_path / "yield"))
+    from squeezedet_tpu.utils import yieldfile
+
+    yieldfile.request_yield()
+
+    import squeezedet_tpu.train as train_mod
+
+    monkeypatch.setattr(train_mod, "load_dataset", lambda name: TinyKITTI)
+    with pytest.raises(SystemExit) as ei:
+        train_mod.train(cfg)
+    assert ei.value.code == yieldfile.YIELD_EXIT_CODE
+    assert os.path.isdir(os.path.join(cfg.save_dir, "state_last"))
+    yieldfile.clear_yield()

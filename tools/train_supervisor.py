@@ -28,6 +28,12 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from squeezedet_tpu.utils.yieldfile import (  # noqa: E402
+    YIELD_EXIT_CODE,
+    yield_requested,
+)
 
 
 def parse_flag(flags: list[str], name: str, default=None):
@@ -148,6 +154,33 @@ def main(argv=None) -> int:
             if args.snapshot_git_s > 0:
                 snapshot_once()  # final state, not just the last tick
             return 0
+        if rc == YIELD_EXIT_CODE:
+            # Training released the TPU claim on request (the yield
+            # sentinel — see utils/yieldfile.py): paused, not failed.
+            # Wait for the requester to clear the sentinel (staleness is
+            # handled inside yield_requested: a dead requester's file is
+            # removed automatically), then relaunch with --resume. Never
+            # counted against the restart budget.
+            print(
+                "[supervisor] training yielded the TPU claim (rc="
+                f"{YIELD_EXIT_CODE}); waiting for the requester to finish",
+                flush=True,
+            )
+            waited = 0.0
+            while yield_requested():
+                time.sleep(5.0)
+                waited += 5.0
+                if waited and waited % 300.0 < 5.0:
+                    print(
+                        f"[supervisor] still yielded after {waited:.0f}s",
+                        flush=True,
+                    )
+            outage_streak = 0
+            print(
+                f"[supervisor] yield cleared after {waited:.0f}s; resuming",
+                flush=True,
+            )
+            continue
         if not os.path.isdir(state_last) and rc != 14:
             # A non-outage failure before the first checkpoint is a real
             # training failure (bad flags, crash in staging) — relaunching
