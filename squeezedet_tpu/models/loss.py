@@ -233,6 +233,15 @@ def detection_loss(
 
     hybrid = bbox_loss_kind.startswith("l2+")
     iou_kind = bbox_loss_kind[3:] if hybrid else bbox_loss_kind
+    if iou_kind not in IOU_LOSS_FNS and bbox_loss_kind != "l2":
+        # same fail-fast contract as the CLI's validation for programmatic
+        # callers that bypass config parsing (advisor round-4)
+        raise ValueError(f"unknown bbox_loss_kind {bbox_loss_kind!r}")
+    if hybrid and iou_mix == 0.0:
+        # short-circuit to the pure-L2 branch: keeps mix=0 BIT-identical
+        # to "l2" even if the IoU element were nonfinite (0*inf = NaN
+        # would otherwise leak through the masked sum)
+        iou_kind = "l2"
     if iou_kind in IOU_LOSS_FNS:
         if anchors_xywh is None:
             raise ValueError(
@@ -254,7 +263,7 @@ def detection_loss(
                 (resolved.deltas - gt_deltas) ** 2, axis=-1, keepdims=True
             )
     else:
-        assert bbox_loss_kind == "l2", bbox_loss_kind
+        # pure L2 ("l2", or a hybrid short-circuited at iou_mix=0 above)
         bbox_elem = jnp.sum(
             (resolved.deltas - gt_deltas) ** 2, axis=-1, keepdims=True
         )

@@ -1,6 +1,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from squeezedet_tpu.core.anchors import generate_anchors
 from squeezedet_tpu.core.boxes import xywh_to_xyxy
@@ -510,12 +511,27 @@ def test_hybrid_bbox_loss_is_l2_plus_mix_times_iou():
                 + mix * np.asarray(s_iou["bbox_loss"]),
                 rtol=1e-5,
             )
-    # mix=0 reproduces pure l2 bit-for-bit on the total loss too
+    # mix=0 reproduces pure l2 BIT-for-bit on the total loss: the hybrid
+    # short-circuits to the L2 branch (loss.py), so this is exact even
+    # when the IoU element would be nonfinite — and anchors_xywh is not
+    # required at mix 0
     l0, _ = detection_loss(resolved, gt_j, NUM_ANCHORS,
-                           bbox_loss_kind="l2+ciou", anchors_xywh=a,
-                           iou_mix=0.0)
+                           bbox_loss_kind="l2+ciou", iou_mix=0.0)
     l_l2, _ = detection_loss(resolved, gt_j, NUM_ANCHORS)
-    np.testing.assert_allclose(np.asarray(l0), np.asarray(l_l2), rtol=1e-6)
+    assert np.array_equal(np.asarray(l0), np.asarray(l_l2))
+
+
+def test_unknown_bbox_loss_kind_raises():
+    """Programmatic callers bypassing the CLI's validation get the same
+    fail-fast ValueError, not a bare trace-time AssertionError."""
+    pred, gt = _random_batch()
+    resolved = resolve(jnp.asarray(pred), jnp.asarray(ANCHORS), INPUT_SIZE,
+                       NUM_CLASSES, with_log_probs=True)
+    for bad in ("l2+foo", "foo", "iou2"):
+        with pytest.raises(ValueError, match="unknown bbox_loss_kind"):
+            detection_loss(resolved, jnp.asarray(gt), NUM_ANCHORS,
+                           bbox_loss_kind=bad,
+                           anchors_xywh=jnp.asarray(ANCHORS))
 
 
 def test_hybrid_grad_finite_with_escaped_boxes():

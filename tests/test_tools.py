@@ -274,11 +274,13 @@ def test_train_supervisor_fresh_run_outage_retries(tmp_path):
 
 
 def test_train_supervisor_git_snapshots(tmp_path):
-    """--snapshot_git_s commits the run's save_dir (scoped pathspec) into
-    the repo while training runs, plus a final snapshot at completion —
-    so a container wipe can never lose more than one snapshot interval of
-    an in-flight run (the Aug-19/Aug-20 restarts each killed a multi-hour
-    run whose state_last had never actually been committed)."""
+    """--snapshot_git_s persists the run's save_dir into git while training
+    runs: timer ticks REPLACE a single snapshot ref (refs/snapshots/<exp_id>,
+    so a 600-epoch run never stacks hundreds of checkpoint blobs on main's
+    history — advisor round-4), plus ONE real commit at completion. A
+    container wipe can never lose more than one snapshot interval of an
+    in-flight run (the Aug-19/Aug-20 restarts each killed a multi-hour run
+    whose state_last had never actually been committed)."""
     import subprocess
     import sys
 
@@ -324,8 +326,17 @@ def test_train_supervisor_git_snapshots(tmp_path):
         ["git", "log", "--oneline"], cwd=repo,
         capture_output=True, text=True, check=True,
     ).stdout
-    n_snaps = log.count("run6 auto-snapshot")
-    assert n_snaps >= 2, log  # at least one mid-run tick + the final one
+    # main's history gets exactly ONE snapshot commit (the final one) no
+    # matter how many timer ticks fired — that is the whole point
+    assert log.count("run6 auto-snapshot") == 1, log
+    assert "[supervisor] snapshot ref refs/snapshots/run6" in out.stdout
+    # the ref's tree carries the resumable state for restart recovery
+    ref_files = subprocess.run(
+        ["git", "ls-tree", "-r", "--name-only", "refs/snapshots/run6"],
+        cwd=repo, capture_output=True, text=True, check=True,
+    ).stdout
+    assert "exp/run6/state_last/ckpt" in ref_files
+    assert "unrelated.txt" not in ref_files  # scoped: never swept up
     # the committed tree has the resumable state and the latest log
     files = subprocess.run(
         ["git", "ls-files"], cwd=repo, capture_output=True, text=True,
@@ -339,6 +350,69 @@ def test_train_supervisor_git_snapshots(tmp_path):
         capture_output=True, text=True, check=True,
     ).stdout
     assert "unrelated.txt" in status  # still dirty, still uncommitted
+
+
+def test_train_supervisor_restores_state_from_snapshot_ref(tmp_path):
+    """A container restart wipes uncommitted files; on relaunch the
+    supervisor restores save_dir from refs/snapshots/<exp_id> so the run
+    RESUMES instead of restarting from scratch."""
+    import subprocess
+    import sys
+
+    repo = tmp_path / "repo"
+    save_dir = repo / "exp" / "run7"
+    save_dir.mkdir(parents=True)
+    for cmd in (
+        ["git", "init", "-q"],
+        ["git", "config", "user.email", "t@t"],
+        ["git", "config", "user.name", "t"],
+        ["git", "commit", "-q", "--allow-empty", "-m", "root"],
+    ):
+        subprocess.run(cmd, cwd=repo, check=True, capture_output=True)
+    # simulate the pre-wipe tick: a snapshot ref carrying state_last
+    (save_dir / "state_last").mkdir()
+    (save_dir / "state_last" / "ckpt").write_text("resume-me")
+    env = {**os.environ, "GIT_INDEX_FILE": str(tmp_path / "idx")}
+    subprocess.run(["git", "read-tree", "HEAD"], cwd=repo, env=env,
+                   check=True, capture_output=True)
+    subprocess.run(["git", "add", "-f", "--", "exp/run7"], cwd=repo,
+                   env=env, check=True, capture_output=True)
+    tree = subprocess.run(["git", "write-tree"], cwd=repo, env=env,
+                          capture_output=True, text=True,
+                          check=True).stdout.strip()
+    commit = subprocess.run(
+        ["git", "commit-tree", tree, "-p", "HEAD", "-m", "tick"],
+        cwd=repo, capture_output=True, text=True, check=True,
+    ).stdout.strip()
+    subprocess.run(["git", "update-ref", "refs/snapshots/run7", commit],
+                   cwd=repo, check=True, capture_output=True)
+    # the wipe
+    import shutil
+
+    shutil.rmtree(save_dir)
+
+    fake = tmp_path / "fake_train.py"
+    fake.write_text(
+        "import sys\n"
+        "assert '--resume' in sys.argv, 'must resume from restored state'\n"
+        f"body = open({str(save_dir / 'state_last' / 'ckpt')!r}).read()\n"
+        "assert body == 'resume-me', body\n"
+        "sys.exit(0)\n"
+    )
+    out = subprocess.run(
+        [
+            sys.executable, "tools/train_supervisor.py",
+            "--max_restarts", "0",
+            "--snapshot_git_s", "600", "--snapshot_repo", str(repo),
+            "--train_cmd", f"{sys.executable} {fake}",
+            "--",
+            "--exp_id", "run7", "--save_dir", str(save_dir),
+        ],
+        capture_output=True, text=True, timeout=120, cwd=os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert out.returncode == 0, out.stdout + out.stderr
+    assert "restored exp/run7 from refs/snapshots/run7" in out.stdout
 
 
 def test_average_checkpoints(tmp_path):

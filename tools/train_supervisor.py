@@ -62,13 +62,17 @@ def main(argv=None) -> int:
                     "outage (which resolves well within the cap). "
                     "0 = retry forever")
     ap.add_argument("--snapshot_git_s", type=float, default=0.0,
-                    help="if >0, git-commit the run's save_dir (logs + "
-                    "resumable state_last) every N seconds, scoped to "
-                    "that path only. Encodes the Aug-19/Aug-20 lesson: "
-                    "container restarts wipe uncommitted state, and an "
-                    "in-flight multi-hour run is only as durable as its "
-                    "last COMMITTED state_last. Requires save_dir to be "
-                    "inside the repo and state_last not gitignored.")
+                    help="if >0, persist the run's save_dir (logs + "
+                    "resumable state_last) into git every N seconds: "
+                    "timer ticks replace refs/snapshots/<exp_id> (no "
+                    "history growth on main; state_last is force-added "
+                    "past gitignore), completion makes one real commit. "
+                    "Encodes the Aug-19/Aug-20 lesson: container "
+                    "restarts wipe uncommitted state, and an in-flight "
+                    "multi-hour run is only as durable as its last "
+                    "git-reachable state_last. On launch, a missing "
+                    "state_last is restored from the ref automatically. "
+                    "Requires save_dir to be inside the repo.")
     ap.add_argument("--snapshot_repo", default=REPO,
                     help="git repo the snapshots commit into (testing)")
     ap.add_argument("--train_cmd", default="",
@@ -95,30 +99,86 @@ def main(argv=None) -> int:
         except OSError:
             return 0.0
 
-    def snapshot_once() -> None:
-        """Scoped add+commit of save_dir only (`git commit -- <path>`
-        ignores whatever else is staged, so a concurrent interactive
-        commit in the same repo cannot be swept up). Lock contention and
-        nothing-to-commit both exit nonzero — tolerated, retried on the
-        next tick. Gitignored subpaths (model_NNN etc.) are skipped by
-        the add automatically."""
+    snapshot_ref = f"refs/snapshots/{exp_id}"
+
+    def _git(*argv, env=None, timeout=300):
+        return subprocess.run(
+            ["git", "-C", args.snapshot_repo, *argv],
+            capture_output=True, text=True, timeout=timeout, env=env,
+        )
+
+    def snapshot_once(final: bool = False) -> None:
+        """Persist the run's logs + resumable state_last into git.
+
+        Timer ticks write a single REPLACED ref (``refs/snapshots/<exp_id>``,
+        built through a temp index so the real index, worktree and any
+        concurrent interactive commit are untouched): each tick supersedes
+        the last, so a 600-epoch run does not stack hundreds of ~80 MB
+        orbax checkpoint blobs on main's history (advisor round-4) — the
+        superseded blobs become unreachable and gc-able, while the ref
+        keeps the LATEST state reachable across container restarts.
+        Completion makes one real commit on main (the permanent artifact),
+        scoped by pathspec so nothing else staged is swept up."""
         rel = os.path.relpath(save_dir, args.snapshot_repo)
         try:
-            subprocess.run(
-                ["git", "-C", args.snapshot_repo, "add", "-A", "--", rel],
-                capture_output=True, timeout=300,
-            )
-            r = subprocess.run(
-                ["git", "-C", args.snapshot_repo, "commit", "-q", "-m",
-                 f"{exp_id} auto-snapshot (supervisor): logs + resumable "
-                 "state_last", "--", rel],
-                capture_output=True, timeout=300,
-            )
-            if r.returncode == 0:
-                print(f"[supervisor] committed snapshot of {rel}",
-                      flush=True)
+            if final:
+                _git("add", "-A", "--", rel)
+                r = _git(
+                    "commit", "-q", "-m",
+                    f"{exp_id} auto-snapshot (supervisor): logs + resumable "
+                    "state_last", "--", rel,
+                )
+                if r.returncode == 0:
+                    print(f"[supervisor] committed snapshot of {rel}",
+                          flush=True)
+                return
+            tmp_index = os.path.join(save_dir, ".snapshot_index")
+            env = {**os.environ, "GIT_INDEX_FILE": tmp_index}
+            try:
+                _git("read-tree", "HEAD", env=env)
+                _git("add", "-A", "--", rel, env=env)
+                # state_last is what resumability needs; force past any
+                # per-run gitignore line (model_NNN stay excluded — they
+                # would make the reachable set grow with the run)
+                _git("add", "-f", "--", os.path.join(rel, "state_last"),
+                     env=env)
+                tree = _git("write-tree", env=env).stdout.strip()
+                if not tree:
+                    return
+                head = _git("rev-parse", "HEAD").stdout.strip()
+                commit = _git(
+                    "commit-tree", tree, "-p", head, "-m",
+                    f"{exp_id} auto-snapshot (supervisor, ref tick)",
+                    env=env,
+                ).stdout.strip()
+                if commit:
+                    _git("update-ref", snapshot_ref, commit)
+                    print(
+                        f"[supervisor] snapshot ref {snapshot_ref} -> "
+                        f"{commit[:10]}", flush=True,
+                    )
+            finally:
+                try:
+                    os.remove(tmp_index)
+                except OSError:
+                    pass
         except Exception as e:  # snapshotting must never kill the run
-            print(f"[supervisor] snapshot commit failed: {e}", flush=True)
+            print(f"[supervisor] snapshot failed: {e}", flush=True)
+
+    restored_from_ref = False
+    if args.snapshot_git_s > 0 and not os.path.isdir(state_last):
+        # container restarts wipe uncommitted files; if the last tick's
+        # state only survives in the snapshot ref, restore it so the
+        # first attempt below resumes instead of restarting from scratch
+        if _git("rev-parse", "-q", "--verify", snapshot_ref).returncode == 0:
+            rel = os.path.relpath(save_dir, args.snapshot_repo)
+            r = _git("restore", "--source", snapshot_ref, "--", rel)
+            if r.returncode == 0 and os.path.isdir(state_last):
+                restored_from_ref = True
+                print(
+                    f"[supervisor] restored {rel} from {snapshot_ref}",
+                    flush=True,
+                )
 
     if args.snapshot_git_s > 0:
         import threading
@@ -138,9 +198,11 @@ def main(argv=None) -> int:
     attempt, failures, outage_streak = 0, 0, 0
     while failures <= args.max_restarts:
         cmd = list(base_cmd) + flags
-        if attempt > 0 and os.path.isdir(state_last):
+        if (attempt > 0 or restored_from_ref) and os.path.isdir(state_last):
             # appended LAST so argparse last-wins overrides any
-            # user-pinned --resume with the live state on relaunch
+            # user-pinned --resume with the live state on relaunch (or on
+            # attempt 0 after a ref restore — the state exists only
+            # because a previous incarnation of this run saved it)
             cmd += ["--resume", state_last]
         print(f"[supervisor] attempt {attempt}: {' '.join(cmd)}", flush=True)
         before = state_mtime()
@@ -152,7 +214,7 @@ def main(argv=None) -> int:
             # immediately, so completion detection needs no metadata
             print("[supervisor] training completed", flush=True)
             if args.snapshot_git_s > 0:
-                snapshot_once()  # final state, not just the last tick
+                snapshot_once(final=True)  # one real commit on main
             return 0
         if rc == YIELD_EXIT_CODE:
             # Training released the TPU claim on request (the yield
