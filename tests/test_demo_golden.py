@@ -3,11 +3,16 @@
 The reference's de-facto end-to-end regression check is `python main.py
 demo` over the bundled test images with a pinned checkpoint
 (src/demo.py:17-52, README.md:72-87). This makes it explicit: run the
-demo driver with the committed `exp/hard300/model_best` checkpoint on the
-10 samples at /root/reference/data/samples/kitti/testing/image_2, and
-assert the boxes/scores/classes reproduce the committed golden JSON. Any
-refactor of preprocessing, the forward pass, decode, NMS, thresholding or
-coordinate un-mapping that shifts a detection trips this gate.
+demo driver with a committed checkpoint on the 10 samples at
+/root/reference/data/samples/kitti/testing/image_2, and assert the
+boxes/scores/classes reproduce the committed golden JSON. Any refactor of
+preprocessing, the forward pass, decode, NMS, thresholding or coordinate
+un-mapping that shifts a detection trips this gate.
+
+Two checkpoints are gated: the original scratch baseline
+(`exp/hard300/model_best`, squeezedet) and the advertised flagship
+(`exp/hyb_ft150/model_best`, squeezedetplus) — the flagship is what
+README headlines, so predict-path refactors must not silently move it.
 
 Golden provenance: generated on the 8-virtual-CPU-device test backend
 (tests/conftest.py) — the same backend CI asserts on, so reproduction is
@@ -23,20 +28,32 @@ import numpy as np
 import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-CKPT = os.path.join(REPO, "exp", "hard300", "model_best")
 SAMPLES = "/root/reference/data/samples/kitti/testing/image_2"
-GOLDEN = os.path.join(os.path.dirname(__file__), "golden",
-                      "demo_detections.json")
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden")
+
+GATES = {
+    "hard300": {
+        "ckpt": os.path.join(REPO, "exp", "hard300", "model_best"),
+        "arch": "squeezedet",
+        "golden": os.path.join(GOLDEN_DIR, "demo_detections.json"),
+    },
+    "hyb_ft150": {
+        "ckpt": os.path.join(REPO, "exp", "hyb_ft150", "model_best"),
+        "arch": "squeezedetplus",
+        "golden": os.path.join(GOLDEN_DIR, "demo_detections_hyb_ft150.json"),
+    },
+}
 
 
-def _run_demo(tmp_path):
+def _run_demo(tmp_path, ckpt, arch):
     from squeezedet_tpu.config import parse
     from squeezedet_tpu.demo import _sample_paths, demo
 
-    cfg = parse(["demo", "--load_model", CKPT, "--exp_id", "golden_demo",
-                 "--debug", "1"])  # debug=1 is inert in demo: no dataset
-    #   __getitem__ runs, and the Detector only renders at debug==2 —
-    #   keeps the gate from writing PNGs into the repo
+    cfg = parse(["demo", "--load_model", ckpt, "--arch", arch,
+                 "--exp_id", "golden_demo", "--debug", "1"])
+    #   debug=1 is inert in demo: no dataset __getitem__ runs, and the
+    #   Detector only renders at debug==2 — keeps the gate from writing
+    #   PNGs into the repo
     cfg.debug_dir = str(tmp_path)
     results = demo(cfg)
     paths = _sample_paths(cfg)
@@ -59,21 +76,23 @@ def _run_demo(tmp_path):
 
 @pytest.mark.skipif(not os.path.isdir(SAMPLES),
                     reason="bundled reference samples not mounted")
-@pytest.mark.skipif(not os.path.isdir(CKPT),
-                    reason="committed hard300 checkpoint missing")
-def test_demo_golden_detections(tmp_path):
-    got = _run_demo(tmp_path)
+@pytest.mark.parametrize("name", sorted(GATES))
+def test_demo_golden_detections(tmp_path, name):
+    gate = GATES[name]
+    if not os.path.isdir(gate["ckpt"]):
+        pytest.skip(f"committed {name} checkpoint missing")
+    got = _run_demo(tmp_path, gate["ckpt"], gate["arch"])
 
     if os.environ.get("SQDT_UPDATE_GOLDEN"):
-        os.makedirs(os.path.dirname(GOLDEN), exist_ok=True)
-        with open(GOLDEN, "w") as fp:
+        os.makedirs(GOLDEN_DIR, exist_ok=True)
+        with open(gate["golden"], "w") as fp:
             json.dump(got, fp, indent=1, sort_keys=True)
-        pytest.skip(f"golden regenerated at {GOLDEN}")
+        pytest.skip(f"golden regenerated at {gate['golden']}")
 
-    assert os.path.isfile(GOLDEN), (
+    assert os.path.isfile(gate["golden"]), (
         "golden file missing — generate with SQDT_UPDATE_GOLDEN=1"
     )
-    with open(GOLDEN) as fp:
+    with open(gate["golden"]) as fp:
         want = json.load(fp)
 
     assert sorted(got) == sorted(want), (sorted(got), sorted(want))
