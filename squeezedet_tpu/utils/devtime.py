@@ -33,8 +33,18 @@ def measure_rtt(n: int = 20) -> float:
 
 
 def scan_predict_ms(params, images, anchors, task, *, n: int = 40,
-                    rtt: float | None = None, reps: int = 2) -> float:
-    """Device milliseconds per predict step via the serial-carry scan."""
+                    rtt: float | None = None, reps: int = 2,
+                    compiler_options: dict | None = None) -> float:
+    """Device milliseconds per predict step via the serial-carry scan.
+
+    ``compiler_options`` (e.g. ``{"xla_tpu_enable_latency_hiding_scheduler":
+    "true"}``) is forwarded to the explicit lower/compile path — the ONLY
+    way to reach the remote TPU compiler's flags through the axon relay:
+    the local jaxlib has no TPU flag registry, so ``XLA_FLAGS`` env
+    candidates abort client-side at parse (measured round 5, see
+    tools/xla_flags_sweep.py). Options are validated server-side (a bogus
+    name fails the remote compile), so an accepted option is an honored
+    one."""
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -44,7 +54,6 @@ def scan_predict_ms(params, images, anchors, task, *, n: int = 40,
     if rtt is None:
         rtt = measure_rtt()
 
-    @jax.jit
     def run_n(p, imgs):
         def body(carry, _):
             pc = jax.tree.map(lambda w: w + carry, p)
@@ -58,10 +67,16 @@ def scan_predict_ms(params, images, anchors, task, *, n: int = 40,
         carry, _ = lax.scan(body, jnp.float32(0.0), None, length=n)
         return carry
 
-    float(run_n(params, images))  # compile
+    if compiler_options is None:
+        fn = jax.jit(run_n)
+    else:
+        fn = (jax.jit(run_n)
+              .lower(params, images)
+              .compile(compiler_options=dict(compiler_options)))
+    float(fn(params, images))  # compile / warm
     best = 1e9
     for _ in range(reps):
         t0 = time.perf_counter()
-        float(run_n(params, images))
+        float(fn(params, images))
         best = min(best, time.perf_counter() - t0)
     return (best - rtt) / n * 1e3

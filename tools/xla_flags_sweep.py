@@ -1,54 +1,61 @@
 #!/usr/bin/env python
-"""XLA scheduler-flag sweep on the real chip (VERDICT round-3 #8 stretch).
+"""XLA TPU scheduler-option sweep on the real chip (VERDICT round-3 #8).
 
-The structural b20-MFU levers (channel padding, space-to-depth, Pallas
-fire) were measured and retired in rounds 2-3; the one untried cheap
-angle is the XLA compiler's own scheduling knobs. This tool times the
-predict step (serial-carry scan, RTT-subtracted — the honest method from
-tools/mfu_probe.py) at batch 20 and 128 under a list of XLA_FLAGS
-candidates, one subprocess per candidate (XLA_FLAGS is read once at
-backend init, so flags cannot be swept in-process).
+Measured round 5: sweeping via ``XLA_FLAGS`` env is STRUCTURALLY
+IMPOSSIBLE through the axon relay — compilation happens server-side and
+the local jaxlib (CPU + axon plugin, no libtpu) has no TPU flag
+registry, so any ``--xla_tpu_*`` candidate aborts the client at flag
+parse (``parse_flags_from_env.cc: Unknown flag``). The working channel
+is JAX's per-compile ``compiler_options`` (``jit(f).lower(...).compile(
+compiler_options={...})``), which rides the remote-compile RPC and is
+validated server-side: a bogus option name fails the remote compile
+(verified), so an accepted option is an honored one.
 
-Run on the real chip when it is otherwise idle (the child holds the TPU
-claim for ~1-2 min per candidate):
+That also simplifies the harness: options are per-executable, not
+process-global, so ALL candidates sweep in ONE process — one backend
+init, one guarded claim, N explicit compiles timed by the serial-carry
+scan method from utils/devtime.py (RTT-subtracted, readback-forced).
 
-    python tools/xla_flags_sweep.py            # full sweep
+Run on the real chip when it is otherwise idle:
+
+    python tools/xla_flags_sweep.py            # full sweep (b20 + b128)
     python tools/xla_flags_sweep.py --quick    # b20 only, fewer reps
 
-Each child prints one JSON line; the parent collects them into a table
-and names the winner. A child that crashes (unknown flag, relay outage)
-is recorded as failed and the sweep continues. Results belong in
-EVIDENCE.md either way — a measured null is a result.
+A candidate whose compile fails server-side (unknown/invalid option for
+the server's XLA version) is recorded as failed and the sweep continues.
+Results belong in EVIDENCE.md either way — a measured null is a result.
 """
 
 from __future__ import annotations
 
 import json
 import os
-import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 
-CANDIDATES: list[tuple[str, str]] = [
-    ("baseline", ""),
+CANDIDATES: list[tuple[str, dict[str, str]]] = [
+    ("baseline", {}),
     # the latency-hiding scheduler overlaps compute with async copies;
     # measure both settings (the default has changed across XLA versions)
-    ("lhs_on", "--xla_tpu_enable_latency_hiding_scheduler=true"),
-    ("lhs_off", "--xla_tpu_enable_latency_hiding_scheduler=false"),
+    ("lhs_on", {"xla_tpu_enable_latency_hiding_scheduler": "true"}),
+    ("lhs_off", {"xla_tpu_enable_latency_hiding_scheduler": "false"}),
     # scoped vmem bounds how much VMEM the scheduler may use for
     # prefetch/double-buffering; the default is conservative
-    ("vmem_48m", "--xla_tpu_scoped_vmem_limit_kib=49152"),
-    ("vmem_96m", "--xla_tpu_scoped_vmem_limit_kib=98304"),
+    ("vmem_48m", {"xla_tpu_scoped_vmem_limit_kib": "49152"}),
+    ("vmem_96m", {"xla_tpu_scoped_vmem_limit_kib": "98304"}),
+    # aggressive fusion profitability search
+    ("fusion_heavy", {"xla_tpu_rwb_fusion": "true"}),
     # combined best-guess
-    ("lhs_on_vmem_96m",
-     "--xla_tpu_enable_latency_hiding_scheduler=true "
-     "--xla_tpu_scoped_vmem_limit_kib=98304"),
+    ("lhs_on_vmem_96m", {
+        "xla_tpu_enable_latency_hiding_scheduler": "true",
+        "xla_tpu_scoped_vmem_limit_kib": "98304",
+    }),
 ]
 
 
-def child() -> None:
-    sys.path.insert(0, REPO)
+def main() -> None:
     import numpy as np
 
     from squeezedet_tpu.utils.cache import enable_compilation_cache
@@ -83,54 +90,34 @@ def child() -> None:
     )
     params = init_params(jax.random.PRNGKey(0), task.model)
     rtt = measure_rtt()
-    out = {"xla_flags": os.environ.get("XLA_FLAGS", ""), "rtt_ms": rtt * 1e3}
-    for batch in (20,) if quick else (20, 128):
-        images = jnp.asarray(
-            np.random.default_rng(0).normal(size=(batch, *input_size, 3)),
+    print(f"[sweep] rtt {rtt * 1e3:.1f} ms", flush=True)
+
+    batches = (20,) if quick else (20, 128)
+    images = {
+        b: jnp.asarray(
+            np.random.default_rng(0).normal(size=(b, *input_size, 3)),
             jnp.float32,
         )
-        ms = scan_predict_ms(
-            params, images, anchors, task,
-            n=20 if quick else 40, rtt=rtt, reps=1 if quick else 2,
-        )
-        out[f"predict_ms_b{batch}"] = round(ms, 3)
-        out[f"img_per_s_b{batch}"] = round(batch / ms * 1e3, 1)
-    print("SWEEP_RESULT " + json.dumps(out), flush=True)
+        for b in batches
+    }
 
-
-def main() -> None:
-    if "--child" in sys.argv:
-        child()
-        return
-    quick = "--quick" in sys.argv
     results = []
-    for name, flags in CANDIDATES:
-        env = dict(os.environ)
-        base = env.get("XLA_FLAGS", "")
-        env["XLA_FLAGS"] = (base + " " + flags).strip()
-        cmd = [sys.executable, os.path.abspath(__file__), "--child"]
-        if quick:
-            cmd.append("--quick")
-        print(f"[sweep] {name}: XLA_FLAGS={env['XLA_FLAGS']!r}", flush=True)
+    for name, options in CANDIDATES:
+        rec: dict = {"name": name, "options": options}
         try:
-            proc = subprocess.run(
-                cmd, env=env, capture_output=True, text=True, timeout=900,
-            )
-        except subprocess.TimeoutExpired:
-            print(f"[sweep] {name}: TIMEOUT", flush=True)
-            results.append({"name": name, "error": "timeout"})
-            continue
-        line = next(
-            (ln for ln in proc.stdout.splitlines()
-             if ln.startswith("SWEEP_RESULT ")), None,
-        )
-        if proc.returncode != 0 or line is None:
-            tail = (proc.stderr or proc.stdout).strip().splitlines()[-3:]
-            print(f"[sweep] {name}: FAILED rc={proc.returncode} {tail}",
-                  flush=True)
-            results.append({"name": name, "error": f"rc={proc.returncode}"})
-            continue
-        rec = {"name": name, **json.loads(line[len("SWEEP_RESULT "):])}
+            for b in batches:
+                ms = scan_predict_ms(
+                    params, images[b], anchors, task,
+                    n=20 if quick else 40, rtt=rtt,
+                    reps=1 if quick else 2,
+                    # baseline uses the plain jit path (identical to
+                    # production); explicit {} would also work
+                    compiler_options=options or None,
+                )
+                rec[f"predict_ms_b{b}"] = round(ms, 3)
+                rec[f"img_per_s_b{b}"] = round(b / ms * 1e3, 1)
+        except Exception as e:  # server-side compile rejection, outage
+            rec["error"] = f"{type(e).__name__}: {str(e)[:160]}"
         results.append(rec)
         print(f"[sweep] {name}: {rec}", flush=True)
 
