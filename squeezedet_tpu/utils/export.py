@@ -54,13 +54,22 @@ def export_stablehlo(
     batch_size: int,
     uint8: bool = True,
     platforms: list[str] | None = None,
+    data_parallel: int = 0,
 ) -> str:
     """Serialize the serving function for a fixed batch size.
 
     ``cfg_like`` needs ``rgb_mean``, ``rgb_std``, ``anchors``,
     ``class_names``. ``platforms`` cross-compiles for other backends
     (e.g. ['tpu'] from a CPU host); default = the current backend.
-    Returns the .stablehlo path."""
+
+    ``data_parallel=N`` exports the MESH-SHARDED serving step instead:
+    the function is jitted over an N-device ``Mesh`` with the batch
+    dimension sharded (weights replicated) — the same SPMD layout as
+    ``parallel/train.make_predict_step``. jax.export records the mesh
+    and shardings in the artifact (``nr_devices=N``); deserialize+call
+    requires N devices and feeds each its batch shard, so one artifact
+    serves a whole pod slice with zero per-host batching code.
+    ``batch_size`` must divide by N. Returns the .stablehlo path."""
     from jax import export as jax_export
 
     serve = build_serving_fn(
@@ -68,12 +77,33 @@ def export_stablehlo(
         np.asarray(cfg_like.anchors), uint8=uint8,
     )
     dtype = jnp.uint8 if uint8 else jnp.float32
-    spec = jax.ShapeDtypeStruct(
-        (batch_size, *task.input_size, 3), dtype
-    )
-    exported = jax_export.export(
-        jax.jit(serve), platforms=platforms
-    )(spec)
+    if data_parallel:
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+        if batch_size % data_parallel:
+            raise ValueError(
+                f"batch_size {batch_size} must divide data_parallel "
+                f"{data_parallel}"
+            )
+        devices = np.asarray(jax.devices()[:data_parallel])
+        if devices.size < data_parallel:
+            raise ValueError(
+                f"data_parallel={data_parallel} but only {devices.size} "
+                "devices visible"
+            )
+        mesh = Mesh(devices, ("data",))
+        batch_sh = NamedSharding(mesh, PartitionSpec("data"))
+        jitted = jax.jit(serve, in_shardings=batch_sh,
+                         out_shardings=batch_sh)
+        spec = jax.ShapeDtypeStruct(
+            (batch_size, *task.input_size, 3), dtype, sharding=batch_sh
+        )
+    else:
+        jitted = jax.jit(serve)
+        spec = jax.ShapeDtypeStruct(
+            (batch_size, *task.input_size, 3), dtype
+        )
+    exported = jax_export.export(jitted, platforms=platforms)(spec)
     blob = exported.serialize()
 
     hlo_path = path_prefix + ".stablehlo"
@@ -102,6 +132,11 @@ def export_stablehlo(
         "score_thresh": task.score_thresh,
         "nms_method": task.nms_method,
         "jax_version": jax.__version__,
+        "nr_devices": exported.nr_devices,
+        "sharding": (
+            f"batch dim sharded over a {data_parallel}-device 'data' mesh"
+            if data_parallel else "single device"
+        ),
     }
     with open(path_prefix + ".json", "w") as fp:
         json.dump(meta, fp, indent=1)

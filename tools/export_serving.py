@@ -36,6 +36,10 @@ def main(argv=None) -> None:
                     help="comma-separated lowering targets (e.g. 'tpu' to "
                          "cross-compile from a CPU host); default = current "
                          "backend")
+    ap.add_argument("--data_parallel", type=int, default=0,
+                    help="export the mesh-sharded serving step over N "
+                         "devices (batch dim sharded, weights replicated); "
+                         "deserialize+call then requires N devices")
     args = ap.parse_args(argv)
 
     import jax
@@ -72,6 +76,7 @@ def main(argv=None) -> None:
         args.out_prefix, params, task, cfg, args.batch_size,
         uint8=not args.float_input,
         platforms=args.platforms.split(",") if args.platforms else None,
+        data_parallel=args.data_parallel,
     )
     size = os.path.getsize(path)
     print(
