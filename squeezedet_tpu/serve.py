@@ -105,12 +105,31 @@ def preprocess_raw_tensor(data: bytes, cfg, raw: bool):
     return np.ascontiguousarray(image, np.float32), image_meta
 
 
+def batch_buckets(batch_size: int) -> list[int]:
+    """Padded-dispatch sizes: {1, B/8, B/4, B/2, B} (ceil, deduped).
+
+    A partial batch is padded to the SMALLEST bucket that fits instead of
+    always to ``batch_size``: each compiled shape is fixed (no traffic-
+    dependent recompiles — every bucket is warmed before the server
+    accepts connections), but the H2D payload shrinks with occupancy.
+    Measured round 5: under the relay's degraded-H2D pathology (~6 MB/s)
+    the daemon is wire-bound at ~1.44 MB/frame, and mean occupancy under
+    closed-loop clients sits near B/4 — padding to B made every batch pay
+    the full 28.7 MB regardless. On a healthy PCIe-attached TPU the
+    buckets also cut tail latency for sparse traffic (a lone request
+    dispatches 1 frame, not B)."""
+    b = int(batch_size)
+    raw = [1, -(-b // 8), -(-b // 4), -(-b // 2), b]
+    return sorted(set(x for x in raw if 1 <= x <= b))
+
+
 class DynamicBatcher:
     """Single-owner device loop: collect -> pad -> one fixed-shape dispatch.
 
     ``submit`` blocks the calling (HTTP handler) thread until its result is
     ready; the collector thread is the only one that touches the detector,
-    so JAX dispatch stays single-threaded.
+    so JAX dispatch stays single-threaded. Partial batches pad to the
+    smallest warm bucket (``batch_buckets``), not to ``batch_size``.
     """
 
     def __init__(self, detector, cfg, max_wait_ms: float = 15.0):
@@ -118,6 +137,7 @@ class DynamicBatcher:
 
         self.detector = detector
         self.batch_size = int(cfg.batch_size)
+        self.buckets = batch_buckets(self.batch_size)
         self.max_wait_s = float(max_wait_ms) / 1000.0
         self._queue: "queue.Queue" = queue.Queue()
         self._lock = threading.Lock()
@@ -125,6 +145,7 @@ class DynamicBatcher:
             "requests": 0,
             "batches": 0,
             "batch_occupancy_sum": 0,
+            "bucket_dispatches": {b: 0 for b in self.buckets},
             "latency_ms": [],  # bounded window, see _record
         }
         self._closed = False
@@ -210,8 +231,11 @@ class DynamicBatcher:
             try:
                 images = [it[0] for it in items]
                 metas = [it[1] for it in items]
-                # pad to the compiled batch shape; num_valid masks the tail
-                while len(images) < self.batch_size:
+                # pad to the smallest warm bucket; num_valid masks the tail
+                bucket = next(
+                    b for b in self.buckets if b >= len(images)
+                )
+                while len(images) < bucket:
                     images.append(images[-1])
                 batch = {
                     "image": np.stack(images),
@@ -219,6 +243,8 @@ class DynamicBatcher:
                     "num_valid": len(items),
                 }
                 results = self.detector.detect(batch)
+                with self._lock:
+                    self.stats["bucket_dispatches"][bucket] += 1
                 for (_, _, done, slot, _), result in zip(items, results):
                     slot["result"] = result
                     done.set()
@@ -240,6 +266,9 @@ class DynamicBatcher:
                 "mean_batch_occupancy": (
                     s["batch_occupancy_sum"] / s["batches"] if s["batches"] else 0.0
                 ),
+                "bucket_dispatches": {
+                    str(k): v for k, v in s["bucket_dispatches"].items()
+                },
                 "batch_latency_ms_p50": round(pct(0.50), 2),
                 "batch_latency_ms_p95": round(pct(0.95), 2),
             }
@@ -413,31 +442,39 @@ def serve(cfg) -> None:
     # whitened float inputs); mirror its decision so the warm-up batch and
     # the request handler ship the dtype the active path expects
     cfg.serve_uint8 = detector.serve_uint8
-    # compile + warm the serving path before accepting traffic
-    warm = np.zeros(
-        (cfg.batch_size, *cfg.input_size, 3),
-        np.uint8 if cfg.serve_uint8 else np.float32,
-    )
+    # compile + warm EVERY dispatch bucket before accepting traffic, so
+    # no request pattern can hit a cold compile mid-traffic (the compile
+    # cache makes restarts cheap)
+    buckets = batch_buckets(cfg.batch_size)
     t0 = time.time()
-    detector.detect(
-        {
-            "image": warm,
-            "image_metas": [
-                {
-                    "image_id": "warmup",
-                    "orig_size": np.array([*cfg.input_size, 3], np.int32),
-                    "scales": np.array([1.0, 1.0], np.float32),
-                }
-            ],
-            "num_valid": 1,
-        }
+    for b in buckets:
+        warm = np.zeros(
+            (b, *cfg.input_size, 3),
+            np.uint8 if cfg.serve_uint8 else np.float32,
+        )
+        detector.detect(
+            {
+                "image": warm,
+                "image_metas": [
+                    {
+                        "image_id": "warmup",
+                        "orig_size": np.array([*cfg.input_size, 3], np.int32),
+                        "scales": np.array([1.0, 1.0], np.float32),
+                    }
+                ],
+                "num_valid": 1,
+            }
+        )
+    print(
+        f"[serve] compiled serving path in {time.time() - t0:.1f}s "
+        f"(buckets {buckets})"
     )
-    print(f"[serve] compiled serving path in {time.time() - t0:.1f}s")
 
     httpd = build_server(detector, cfg)
     print(
         f"[serve] listening on :{cfg.port} "
-        f"(batch {cfg.batch_size}, max_wait {cfg.max_wait_ms}ms, "
+        f"(batch {cfg.batch_size}, buckets {buckets}, "
+        f"max_wait {cfg.max_wait_ms}ms, "
         f"{'uint8' if cfg.serve_uint8 else 'float32'} ingest)"
     )
     try:

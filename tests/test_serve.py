@@ -54,8 +54,48 @@ def test_batcher_pads_to_fixed_shape_and_routes_results():
     out = b.submit(img, {"image_id": "a"})
     assert out["image_meta"]["image_id"] == "a"
     batch = det.batches[0]
-    assert batch["image"].shape == (4, 8, 8, 3)  # padded to batch_size
+    # a lone request pads to the SMALLEST bucket, not to batch_size —
+    # fewer H2D bytes per dispatch (bucketed dispatch, round 5)
+    assert batch["image"].shape == (1, 8, 8, 3)
     assert batch["num_valid"] == 1
+    b.close()
+
+
+def test_batcher_bucketed_dispatch():
+    """Partial batches pad to the smallest warm bucket ≥ occupancy; every
+    dispatched shape is one of batch_buckets(batch_size)."""
+    from squeezedet_tpu.serve import batch_buckets
+
+    assert batch_buckets(20) == [1, 3, 5, 10, 20]
+    assert batch_buckets(4) == [1, 2, 4]
+    assert batch_buckets(1) == [1]
+
+    class Cfg20:
+        batch_size = 20
+
+    det = FakeDetector(delay_s=0.05)
+    b = DynamicBatcher(det, Cfg20(), max_wait_ms=250)
+    img = np.zeros((8, 8, 3), np.uint8)
+    results = {}
+
+    def post(name):
+        results[name] = b.submit(img, {"image_id": name})
+
+    threads = [threading.Thread(target=post, args=(f"r{i}",)) for i in range(4)]
+    for t in threads:
+        t.start()
+        time.sleep(0.01)
+    for t in threads:
+        t.join()
+    assert len(results) == 4
+    for batch in det.batches:
+        assert batch["image"].shape[0] in (1, 3, 5, 10, 20)
+        assert batch["image"].shape[0] >= batch["num_valid"]
+    # 4 concurrent requests coalesce into a 5-bucket (or smaller) dispatch,
+    # never the full 20
+    assert all(batch["image"].shape[0] <= 5 for batch in det.batches)
+    snap = b.snapshot()
+    assert sum(snap["bucket_dispatches"].values()) == len(det.batches)
     b.close()
 
 
