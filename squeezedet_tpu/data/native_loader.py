@@ -76,6 +76,22 @@ def _get_lib():
             ctypes.POINTER(ctypes.c_int),
         ]
         lib.sqdt_load_resize_whiten.restype = ctypes.c_int
+        lib.sqdt_png_size_mem.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_size_t,
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.sqdt_png_size_mem.restype = ctypes.c_int
+        lib.sqdt_decode_resize_u8_mem.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_size_t,
+            ctypes.POINTER(ctypes.c_ubyte),
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.sqdt_decode_resize_u8_mem.restype = ctypes.c_int
         _lib = lib
         return _lib
 
@@ -125,4 +141,38 @@ def load_resize_whiten(
     )
     if rc != 0:
         raise IOError(f"native load failed ({rc}): {path}")
+    return out, (orig[0], orig[1])
+
+
+def png_size_mem(data: bytes) -> tuple[int, int]:
+    """(height, width) of an in-memory PNG without full decode."""
+    lib = _get_lib()
+    h, w = ctypes.c_int(), ctypes.c_int()
+    if lib.sqdt_png_size_mem(
+        data, len(data), ctypes.byref(h), ctypes.byref(w)
+    ) != 0:
+        raise ValueError("not a decodable PNG")
+    return h.value, w.value
+
+
+def decode_resize_u8(
+    data: bytes, out_hw: tuple[int, int]
+) -> tuple[np.ndarray, tuple[int, int]]:
+    """Serving compressed ingest: in-memory PNG -> decode -> bilinear
+    resize -> uint8 RGB HWC, one C call off the GIL. Returns
+    (image (H,W,3) u8, orig (h, w)). Feeds the uint8 device dispatch
+    (folded whitening) directly."""
+    lib = _get_lib()
+    out = np.empty((out_hw[0], out_hw[1], 3), dtype=np.uint8)
+    orig = (ctypes.c_int * 2)()
+    rc = lib.sqdt_decode_resize_u8_mem(
+        data,
+        len(data),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        out_hw[0],
+        out_hw[1],
+        orig,
+    )
+    if rc != 0:
+        raise ValueError(f"native PNG byte decode failed (rc={rc})")
     return out, (orig[0], orig[1])

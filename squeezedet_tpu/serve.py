@@ -71,6 +71,33 @@ def preprocess_image(image: np.ndarray, cfg, raw: bool, image_id: str = "request
     return np.ascontiguousarray(image, dtype=dtype), image_meta
 
 
+def preprocess_png_native(data: bytes, cfg):
+    """Compressed-ingest hot path: in-memory PNG -> native C++ decode +
+    fused bilinear resize -> uint8 frame for the folded-whitening device
+    dispatch. One ctypes call per request, entirely off the GIL, so the
+    ThreadingHTTPServer handler threads overlap for real on the decode
+    (the host bottleneck for PNG ingest — measured in EVIDENCE round 4).
+
+    Only valid for the uint8-ingest server on the resize protocol; the
+    caller falls back to the cv2 path (decode_image_bytes +
+    preprocess_image) otherwise. Returns None when the native library is
+    unavailable so the fallback stays automatic.
+    """
+    from squeezedet_tpu.data import native_loader
+
+    if not native_loader.available():
+        return None
+    image, (oh, ow) = native_loader.decode_resize_u8(data, cfg.input_size)
+    image_meta: dict[str, Any] = {
+        "image_id": "request",
+        "orig_size": np.array([oh, ow, 3], dtype=np.int32),
+        "scales": np.array(
+            [cfg.input_size[0] / oh, cfg.input_size[1] / ow], dtype=np.float32
+        ),
+    }
+    return image, image_meta
+
+
 RAW_TENSOR_CONTENT_TYPE = "application/x-sqdt-raw-uint8"
 
 
@@ -358,8 +385,17 @@ def make_handler(batcher: DynamicBatcher, cfg, started: float):
                 if ctype == RAW_TENSOR_CONTENT_TYPE:
                     image, meta = preprocess_raw_tensor(data, cfg, raw=raw)
                 else:
-                    image = decode_image_bytes(data)
-                    image, meta = preprocess_image(image, cfg, raw=raw)
+                    native = None
+                    if raw and not getattr(cfg, "forbid_resize", False):
+                        try:
+                            native = preprocess_png_native(data, cfg)
+                        except ValueError:
+                            native = None  # JPEG/non-PNG -> cv2 fallback
+                    if native is not None:
+                        image, meta = native
+                    else:
+                        image = decode_image_bytes(data)
+                        image, meta = preprocess_image(image, cfg, raw=raw)
             except Exception as exc:
                 self._json(400, {"error": f"{type(exc).__name__}: {exc}"})
                 return
@@ -471,11 +507,23 @@ def serve(cfg) -> None:
     )
 
     httpd = build_server(detector, cfg)
+    from squeezedet_tpu.data import native_loader
+
+    png_decoder = (
+        "native C++"
+        if (
+            cfg.serve_uint8
+            and not getattr(cfg, "forbid_resize", False)
+            and native_loader.available()
+        )
+        else "cv2"
+    )
     print(
         f"[serve] listening on :{cfg.port} "
         f"(batch {cfg.batch_size}, buckets {buckets}, "
         f"max_wait {cfg.max_wait_ms}ms, "
-        f"{'uint8' if cfg.serve_uint8 else 'float32'} ingest)"
+        f"{'uint8' if cfg.serve_uint8 else 'float32'} ingest, "
+        f"PNG decode: {png_decoder})"
     )
     try:
         httpd.serve_forever()

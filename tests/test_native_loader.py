@@ -61,3 +61,44 @@ def test_load_resize_whiten_identity_size(png_path):
 def test_missing_file_raises(tmp_path):
     with pytest.raises(FileNotFoundError):
         native_loader.read_png(str(tmp_path / "nope.png"))
+
+
+def test_png_size_mem(png_path):
+    path, img = png_path
+    data = open(path, "rb").read()
+    assert native_loader.png_size_mem(data) == (37, 53)
+    with pytest.raises(ValueError):
+        native_loader.png_size_mem(b"not a png at all")
+
+
+def test_decode_resize_u8_identity_is_exact(png_path):
+    path, img = png_path
+    data = open(path, "rb").read()
+    got, orig = native_loader.decode_resize_u8(data, (37, 53))
+    assert orig == (37, 53)
+    assert got.dtype == np.uint8
+    np.testing.assert_array_equal(got, img)
+
+
+def test_decode_resize_u8_matches_serving_cv2_path(png_path):
+    """Parity vs the cv2 serving ingest (decode -> float resize -> clip ->
+    uint8 truncation): identical sampling positions, so only float-vs-
+    fixed-point rounding can differ — allow 1 LSB on a small pixel
+    fraction."""
+    path, img = png_path
+    data = open(path, "rb").read()
+    out_hw = (96, 160)
+
+    got, orig = native_loader.decode_resize_u8(data, out_hw)
+    assert orig == (37, 53)
+
+    want = cv2.resize(img.astype(np.float32), (160, 96))
+    want = np.clip(want, 0, 255).astype(np.uint8)
+    diff = np.abs(got.astype(np.int16) - want.astype(np.int16))
+    assert diff.max() <= 1
+    assert (diff > 0).mean() < 0.05
+
+
+def test_decode_resize_u8_bad_bytes():
+    with pytest.raises(ValueError):
+        native_loader.decode_resize_u8(b"\x89PNG\r\n\x1a\ntruncated", (8, 8))

@@ -305,3 +305,51 @@ def test_http_round_trip_real_detector(tmp_path):
     finally:
         httpd.shutdown()
         httpd.batcher.close()
+
+
+def test_png_native_ingest_matches_cv2_path(tmp_path):
+    """The native compressed-ingest path (preprocess_png_native) must agree
+    with the cv2 fallback (decode -> float resize -> clip -> uint8) within
+    1 LSB, carry an identical meta contract, and fall back cleanly on
+    non-PNG bytes."""
+    import cv2
+
+    from squeezedet_tpu.data import native_loader
+    from squeezedet_tpu.serve import preprocess_png_native
+
+    if not native_loader.available():
+        pytest.skip("native loader not built")
+
+    _make_kitti_tree(str(tmp_path / "data"))
+    cfg = _serve_cfg(tmp_path)
+    ds = TinyKITTI("val", cfg)
+    cfg.update_dataset_info(ds)
+
+    img = np.random.default_rng(3).integers(
+        0, 255, (200, 600, 3), dtype=np.uint8
+    )
+    ok, png = cv2.imencode(".png", img[..., ::-1])
+    assert ok
+    data = png.tobytes()
+
+    native = preprocess_png_native(data, cfg)
+    assert native is not None
+    got, meta = native
+    assert got.dtype == np.uint8 and got.shape == (*cfg.input_size, 3)
+
+    want, meta_cv = preprocess_image(
+        decode_image_bytes(data), cfg, raw=True
+    )
+    diff = np.abs(got.astype(np.int16) - want.astype(np.int16))
+    assert diff.max() <= 1
+    # meta parity: same orig_size and scales as the cv2 chain computes
+    np.testing.assert_array_equal(
+        meta["orig_size"], np.asarray(meta_cv["orig_size"])
+    )
+    np.testing.assert_allclose(meta["scales"], meta_cv["scales"], rtol=1e-6)
+
+    # non-PNG bytes must raise ValueError (the handler then uses cv2)
+    ok, jpg = cv2.imencode(".jpg", img[..., ::-1])
+    assert ok
+    with pytest.raises(ValueError):
+        preprocess_png_native(jpg.tobytes(), cfg)
