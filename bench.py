@@ -435,11 +435,29 @@ def main() -> None:
                     headers={"Content-Type": RAW_TENSOR_CONTENT_TYPE},
                 )
                 t0 = time.perf_counter()
-                with urllib.request.urlopen(req, timeout=300) as r:
-                    r.read()
+                try:
+                    with urllib.request.urlopen(req, timeout=300) as r:
+                        r.read()
+                except urllib.error.HTTPError as e:
+                    # surface the server-side exception (the JSON body),
+                    # not just the status line — a bare "HTTP 500" hides
+                    # whether the dispatch, the relay, or the ingest failed
+                    body = e.read()[:300].decode("utf-8", "replace")
+                    raise RuntimeError(f"HTTP {e.code}: {body}") from None
                 return 1e3 * (time.perf_counter() - t0)
 
-            post_once()  # compile/warm the serving batch shape
+            # compile/warm the serving batch shape; a relay burp during
+            # the first remote compile is transient — retry before
+            # declaring the serve measurement unavailable
+            for attempt in range(3):
+                try:
+                    post_once()
+                    break
+                except RuntimeError as e:
+                    if attempt == 2:
+                        raise
+                    print(f"[bench] serve warm retry: {e}", file=sys.stderr)
+                    time.sleep(20)
             n_req, n_cli = 8 * BATCH, 16
             slat_ms: list = []
             lock = threading.Lock()
