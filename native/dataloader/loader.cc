@@ -16,9 +16,14 @@
 
 #include <algorithm>
 #include <cmath>
+#include <csetjmp>
+#include <cstddef>
 #include <cstdio>
 #include <cstring>
 #include <vector>
+
+// jpeglib.h uses bare size_t/FILE and must come after the std headers
+#include <jpeglib.h>
 
 namespace {
 
@@ -159,6 +164,55 @@ void ResizeWhiten(const unsigned char* src, int sh, int sw, float* dst,
   }
 }
 
+// libjpeg error handling: the default handler exit()s the process; route
+// decode errors through setjmp so bad request bytes return false instead
+// of killing the serving daemon.
+struct JpegErr {
+  jpeg_error_mgr mgr;
+  jmp_buf jb;
+};
+
+void JpegErrExit(j_common_ptr cinfo) {
+  longjmp(reinterpret_cast<JpegErr*>(cinfo->err)->jb, 1);
+}
+
+// Decode an in-memory JPEG (serving request body) into 8-bit RGB rows.
+bool DecodeJpegMem(const unsigned char* data, size_t len,
+                   std::vector<unsigned char>* rgb, int* height, int* width) {
+  jpeg_decompress_struct cinfo;
+  JpegErr jerr;
+  cinfo.err = jpeg_std_error(&jerr.mgr);
+  jerr.mgr.error_exit = JpegErrExit;
+  if (setjmp(jerr.jb)) {
+    jpeg_destroy_decompress(&cinfo);
+    return false;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, const_cast<unsigned char*>(data),
+               static_cast<unsigned long>(len));
+  if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK) {
+    jpeg_destroy_decompress(&cinfo);
+    return false;
+  }
+  cinfo.out_color_space = JCS_RGB;  // gray/YCbCr/CMYK all normalize to RGB
+  jpeg_start_decompress(&cinfo);
+  *height = static_cast<int>(cinfo.output_height);
+  *width = static_cast<int>(cinfo.output_width);
+  rgb->resize(static_cast<size_t>(*height) * *width * 3);
+  while (cinfo.output_scanline < cinfo.output_height) {
+    unsigned char* row =
+        rgb->data() + static_cast<size_t>(cinfo.output_scanline) * *width * 3;
+    jpeg_read_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  return true;
+}
+
+inline bool LooksLikeJpeg(const unsigned char* data, size_t len) {
+  return len >= 2 && data[0] == 0xFF && data[1] == 0xD8;
+}
+
 // Bilinear resize straight to uint8 (same cv2.INTER_LINEAR-compatible
 // sampling as ResizeWhiten). Clamp-then-truncate matches the numpy serving
 // path (np.clip(img, 0, 255).astype(np.uint8)); identity sizes reproduce
@@ -277,17 +331,21 @@ int sqdt_png_size_mem(const unsigned char* data, size_t len, int* height,
   return 0;
 }
 
-// Serving compressed-ingest hot path: decode an in-memory PNG + bilinear
-// resize to (out_h, out_w), writing uint8 RGB HWC into the caller buffer
-// (feeds the uint8 device dispatch with folded whitening). Writes the
-// source (h, w) into orig_hw[2]. One C call per request, fully off the
-// GIL. 0 on success, 1 on decode failure.
+// Serving compressed-ingest hot path: decode an in-memory PNG or JPEG
+// (sniffed from the magic bytes) + bilinear resize to (out_h, out_w),
+// writing uint8 RGB HWC into the caller buffer (feeds the uint8 device
+// dispatch with folded whitening). Writes the source (h, w) into
+// orig_hw[2]. One C call per request, fully off the GIL. 0 on success,
+// 1 on decode failure / unrecognized format.
 int sqdt_decode_resize_u8_mem(const unsigned char* data, size_t len,
                               unsigned char* out, int out_h, int out_w,
                               int* orig_hw) {
   std::vector<unsigned char> rgb;
   int h, w;
-  if (!DecodePngMem(data, len, &rgb, &h, &w)) return 1;
+  bool ok = LooksLikeJpeg(data, len)
+                ? DecodeJpegMem(data, len, &rgb, &h, &w)
+                : DecodePngMem(data, len, &rgb, &h, &w);
+  if (!ok) return 1;
   orig_hw[0] = h;
   orig_hw[1] = w;
   ResizeU8(rgb.data(), h, w, out, out_h, out_w);

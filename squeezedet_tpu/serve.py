@@ -71,8 +71,9 @@ def preprocess_image(image: np.ndarray, cfg, raw: bool, image_id: str = "request
     return np.ascontiguousarray(image, dtype=dtype), image_meta
 
 
-def preprocess_png_native(data: bytes, cfg):
-    """Compressed-ingest hot path: in-memory PNG -> native C++ decode +
+def preprocess_image_native(data: bytes, cfg):
+    """Compressed-ingest hot path: in-memory PNG/JPEG (sniffed from the
+    magic bytes) -> native C++ decode +
     fused bilinear resize -> uint8 frame for the folded-whitening device
     dispatch. One ctypes call per request, entirely off the GIL, so the
     ThreadingHTTPServer handler threads overlap for real on the decode
@@ -388,9 +389,9 @@ def make_handler(batcher: DynamicBatcher, cfg, started: float):
                     native = None
                     if raw and not getattr(cfg, "forbid_resize", False):
                         try:
-                            native = preprocess_png_native(data, cfg)
+                            native = preprocess_image_native(data, cfg)
                         except ValueError:
-                            native = None  # JPEG/non-PNG -> cv2 fallback
+                            native = None  # unrecognized format -> cv2 fallback
                     if native is not None:
                         image, meta = native
                     else:

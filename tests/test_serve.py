@@ -308,14 +308,14 @@ def test_http_round_trip_real_detector(tmp_path):
 
 
 def test_png_native_ingest_matches_cv2_path(tmp_path):
-    """The native compressed-ingest path (preprocess_png_native) must agree
+    """The native compressed-ingest path (preprocess_image_native) must agree
     with the cv2 fallback (decode -> float resize -> clip -> uint8) within
     1 LSB, carry an identical meta contract, and fall back cleanly on
     non-PNG bytes."""
     import cv2
 
     from squeezedet_tpu.data import native_loader
-    from squeezedet_tpu.serve import preprocess_png_native
+    from squeezedet_tpu.serve import preprocess_image_native
 
     if not native_loader.available():
         pytest.skip("native loader not built")
@@ -332,7 +332,7 @@ def test_png_native_ingest_matches_cv2_path(tmp_path):
     assert ok
     data = png.tobytes()
 
-    native = preprocess_png_native(data, cfg)
+    native = preprocess_image_native(data, cfg)
     assert native is not None
     got, meta = native
     assert got.dtype == np.uint8 and got.shape == (*cfg.input_size, 3)
@@ -348,8 +348,19 @@ def test_png_native_ingest_matches_cv2_path(tmp_path):
     )
     np.testing.assert_allclose(meta["scales"], meta_cv["scales"], rtol=1e-6)
 
-    # non-PNG bytes must raise ValueError (the handler then uses cv2)
-    ok, jpg = cv2.imencode(".jpg", img[..., ::-1])
+    # JPEG goes through the native path too (libjpeg), within a few LSB
+    # of the cv2 decode of the same bytes
+    ok, jpg = cv2.imencode(
+        ".jpg", img[..., ::-1], [int(cv2.IMWRITE_JPEG_QUALITY), 95]
+    )
     assert ok
+    got_j, _ = preprocess_image_native(jpg.tobytes(), cfg)
+    want_j, _ = preprocess_image(
+        decode_image_bytes(jpg.tobytes()), cfg, raw=True
+    )
+    dj = np.abs(got_j.astype(np.int16) - want_j.astype(np.int16))
+    assert dj.max() <= 4 and (dj > 1).mean() < 0.01
+
+    # unrecognized bytes must raise ValueError (the handler then uses cv2)
     with pytest.raises(ValueError):
-        preprocess_png_native(jpg.tobytes(), cfg)
+        preprocess_image_native(b"BM not really a bitmap", cfg)
