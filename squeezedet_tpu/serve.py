@@ -429,6 +429,50 @@ def build_server(detector, cfg, port: int | None = None, max_wait_ms=None):
     return httpd
 
 
+def warm_buckets(detector, cfg, retries: int = 5, retry_sleep_s: float = 30.0):
+    """Compile + warm every dispatch bucket before accepting traffic.
+
+    The axon relay can crash/restart its worker mid-warmup ("UNAVAILABLE:
+    TPU worker process crashed or restarted" — a measured round-5 outage
+    mode that killed ~30 daemon starts in one night, while the relay
+    flapped faster than a full process restart could complete). The
+    executable cache makes a retried warm cheap, so absorb transient
+    execute failures here instead of dying and paying the full process
+    startup (imports + checkpoint load) again. Non-UNAVAILABLE errors
+    (a real bug in the serving program) still raise immediately.
+    """
+    for b in batch_buckets(cfg.batch_size):
+        warm = np.zeros(
+            (b, *cfg.input_size, 3),
+            np.uint8 if getattr(cfg, "serve_uint8", True) else np.float32,
+        )
+        batch = {
+            "image": warm,
+            "image_metas": [
+                {
+                    "image_id": "warmup",
+                    "orig_size": np.array([*cfg.input_size, 3], np.int32),
+                    "scales": np.array([1.0, 1.0], np.float32),
+                }
+            ],
+            "num_valid": 1,
+        }
+        for attempt in range(retries):
+            try:
+                detector.detect(batch)
+                break
+            except Exception as exc:  # jax runtime errors aren't one type
+                if attempt == retries - 1 or "UNAVAILABLE" not in str(exc):
+                    raise
+                print(
+                    f"[serve] warmup b{b} hit transient backend failure "
+                    f"(attempt {attempt + 1}/{retries}, retrying in "
+                    f"{retry_sleep_s:.0f}s): "
+                    f"{str(exc).splitlines()[0][:120]}"
+                )
+                time.sleep(retry_sleep_s)
+
+
 def serve(cfg) -> None:
     """CLI entry: load the model, compile the serving path, serve forever."""
     import jax
@@ -484,24 +528,7 @@ def serve(cfg) -> None:
     # cache makes restarts cheap)
     buckets = batch_buckets(cfg.batch_size)
     t0 = time.time()
-    for b in buckets:
-        warm = np.zeros(
-            (b, *cfg.input_size, 3),
-            np.uint8 if cfg.serve_uint8 else np.float32,
-        )
-        detector.detect(
-            {
-                "image": warm,
-                "image_metas": [
-                    {
-                        "image_id": "warmup",
-                        "orig_size": np.array([*cfg.input_size, 3], np.int32),
-                        "scales": np.array([1.0, 1.0], np.float32),
-                    }
-                ],
-                "num_valid": 1,
-            }
-        )
+    warm_buckets(detector, cfg)
     print(
         f"[serve] compiled serving path in {time.time() - t0:.1f}s "
         f"(buckets {buckets})"

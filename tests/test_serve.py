@@ -364,3 +364,44 @@ def test_png_native_ingest_matches_cv2_path(tmp_path):
     # unrecognized bytes must raise ValueError (the handler then uses cv2)
     with pytest.raises(ValueError):
         preprocess_image_native(b"BM not really a bitmap", cfg)
+
+
+def test_warm_buckets_retries_transient_unavailable():
+    """Warmup absorbs transient UNAVAILABLE backend failures (the relay
+    worker-crash outage mode) but raises real errors immediately."""
+    from squeezedet_tpu.serve import warm_buckets
+
+    class Cfg:
+        batch_size = 4
+        input_size = (8, 16)
+        serve_uint8 = True
+
+    class FlakyDetector:
+        def __init__(self, fail_first_n):
+            self.calls = 0
+            self.fail_first_n = fail_first_n
+
+        def detect(self, batch):
+            self.calls += 1
+            if self.calls <= self.fail_first_n:
+                raise RuntimeError(
+                    "UNAVAILABLE: TPU worker process crashed or restarted."
+                )
+            return [{}]
+
+    det = FlakyDetector(fail_first_n=2)
+    warm_buckets(det, Cfg(), retries=3, retry_sleep_s=0.0)
+    # buckets {1,2,4}: 2 failures + 1 success on b1, then b2, b4
+    assert det.calls == 5
+
+    class BuggyDetector:
+        def detect(self, batch):
+            raise ValueError("shape mismatch — a real bug, not the relay")
+
+    with pytest.raises(ValueError, match="real bug"):
+        warm_buckets(BuggyDetector(), Cfg(), retries=3, retry_sleep_s=0.0)
+
+    # retry budget exhausted -> the UNAVAILABLE surfaces
+    det2 = FlakyDetector(fail_first_n=99)
+    with pytest.raises(RuntimeError, match="UNAVAILABLE"):
+        warm_buckets(det2, Cfg(), retries=2, retry_sleep_s=0.0)
