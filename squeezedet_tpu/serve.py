@@ -518,17 +518,34 @@ def serve(cfg) -> None:
             "<ckpt> (or --allow_random_weights to smoke-test)"
         )
 
-    detector = Detector(params, task, cfg)
-    # the Detector may disable uint8 ingest (e.g. --serve_int8 quantizes
-    # whitened float inputs); mirror its decision so the warm-up batch and
-    # the request handler ship the dtype the active path expects
-    cfg.serve_uint8 = detector.serve_uint8
-    # compile + warm EVERY dispatch bucket before accepting traffic, so
-    # no request pattern can hit a cold compile mid-traffic (the compile
-    # cache makes restarts cheap)
+    # Detector construction stages the weights into HBM (device_put) —
+    # under the relay's worker-crash pathology that transfer can die too,
+    # so the whole build-and-warm block shares the transient-retry policy
+    # (a retried construction is cheap: no recompile, just the put).
     buckets = batch_buckets(cfg.batch_size)
     t0 = time.time()
-    warm_buckets(detector, cfg)
+    for attempt in range(5):
+        try:
+            detector = Detector(params, task, cfg)
+            # the Detector may disable uint8 ingest (e.g. --serve_int8
+            # quantizes whitened float inputs); mirror its decision so the
+            # warm-up batch and the request handler ship the dtype the
+            # active path expects
+            cfg.serve_uint8 = detector.serve_uint8
+            # compile + warm EVERY dispatch bucket before accepting
+            # traffic, so no request pattern can hit a cold compile
+            # mid-traffic (the compile cache makes restarts cheap)
+            warm_buckets(detector, cfg)
+            break
+        except Exception as exc:
+            if attempt == 4 or "UNAVAILABLE" not in str(exc):
+                raise
+            print(
+                f"[serve] detector build/warm hit transient backend "
+                f"failure (attempt {attempt + 1}/5, retrying in 30s): "
+                f"{str(exc).splitlines()[0][:120]}"
+            )
+            time.sleep(30)
     print(
         f"[serve] compiled serving path in {time.time() - t0:.1f}s "
         f"(buckets {buckets})"
